@@ -1,0 +1,175 @@
+"""Two-level config system: CLI flags + YAML experiment config.
+
+Mirrors the semantics of the reference's argparse + EasyDict YAML merge
+(reference: tools/parser.py:22-156, configs/multi.yaml), with the same
+stage SOURCE/Ratio/LOSS_COEF mixture structure, per-task action-length
+tables, and auto-resume probing — but as a small self-contained module
+(no easydict dependency).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+class ConfigDict(dict):
+    """Recursive attribute-access dict (drop-in for EasyDict)."""
+
+    def __init__(self, d: Optional[Dict] = None, **kwargs):
+        super().__init__()
+        d = dict(d or {})
+        d.update(kwargs)
+        for k, v in d.items():
+            self[k] = self._wrap(v)
+
+    @classmethod
+    def _wrap(cls, v):
+        if isinstance(v, dict) and not isinstance(v, ConfigDict):
+            return cls(v)
+        if isinstance(v, (list, tuple)):
+            return type(v)(cls._wrap(x) for x in v)
+        return v
+
+    def __setattr__(self, k, v):
+        self[k] = self._wrap(v)
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def update(self, other=None, **kwargs):  # keep ConfigDict wrapping
+        merged = dict(other or {})
+        merged.update(kwargs)
+        for k, v in merged.items():
+            self[k] = self._wrap(v)
+
+
+def load_yaml_config(path: str | Path) -> ConfigDict:
+    with open(path) as f:
+        return ConfigDict(yaml.safe_load(f))
+
+
+@dataclasses.dataclass
+class TrainArgs:
+    """All run flags (reference: tools/parser.py flag-for-flag, minus torch-isms)."""
+
+    # paths
+    data_dir: str = "data"
+    cfg_file: Optional[str] = None
+    pretrained_model_name_or_path: Optional[str] = None
+    output_dir: str = "output"
+
+    # run mode
+    mode: str = "train"              # train | test
+    stage: str = "multi"             # pretrain | multi
+    debug: bool = False
+    seed: int = 0
+
+    # schedule
+    num_epochs: int = 30
+    num_steps_per_epoch: int = -1
+    batch_size: int = 1
+    val_batch_size: int = 2
+    lr: float = 1e-5
+    feat_dropout: float = 0.4
+    num_warmup_steps: int = 0
+    gradient_accumulation_step: int = 2
+    precision: str = "bf16"          # bf16 | fp32
+    workers: int = 0
+    grad_clip_norm: float = 40.0
+
+    # checkpointing
+    resume_from_checkpoint: Optional[str] = None
+    from_scratch: bool = False
+    max_saved_checkpoints: int = 0
+    save_ckpt_per_epochs: int = 10
+    save_latest_states: bool = False
+    save_pred_results: bool = False
+    save_detail_results: bool = False
+
+    # tasks
+    ignoreid: int = -100
+    enable_og: bool = False
+    enable_summarize: bool = False
+    enable_fgr2r: bool = False
+    gen_loss_coef: float = 1.0
+    obj_loss_coef: float = 1.0
+    teacher_forcing_coef: float = 1.0
+    fuse_obj: bool = False
+    multi_endpoints: int = 1
+    path_type: str = "trusted_path"
+    max_datapoints: Optional[int] = None
+    off_batch_task: bool = False
+
+    # evaluation
+    test_datasets: Optional[List[str]] = None
+    validation_split: str = "val_unseen"
+    do_sample: bool = False
+    temperature: float = 1.0
+
+    # parallelism (TPU-native; replaces the reference's NCCL flags)
+    dp_size: int = -1                # -1: all devices on the data axis
+    tp_size: int = 1                 # tensor-parallel axis for the LLM
+    rank: int = 0                    # process index (multi-host)
+    world_size: int = 1
+
+    # copied from YAML Feature/Model sections at load time (parser.py:128-135)
+    image_feat_size: int = 1024
+    obj_feat_size: int = 768
+    angle_feat_size: int = 4
+    enc_full_graph: bool = True
+    expert_policy: str = "spl"
+    num_pano_layers: int = 2
+
+    def sync_from_config(self, cfg: ConfigDict) -> "TrainArgs":
+        """Copy select YAML fields onto args (reference parser.py:128-135)."""
+        feat = cfg.get("Feature", {})
+        model = cfg.get("Model", {})
+        self.image_feat_size = feat.get("image_feat_size", self.image_feat_size)
+        self.obj_feat_size = feat.get("obj_feat_size", self.obj_feat_size)
+        self.angle_feat_size = feat.get("angle_feat_size", self.angle_feat_size)
+        self.enc_full_graph = model.get("enc_full_graph", self.enc_full_graph)
+        self.expert_policy = model.get("expert_policy", self.expert_policy)
+        self.num_pano_layers = model.get("num_pano_layers", self.num_pano_layers)
+        return self
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="NaviLLM-TPU trainer")
+    for f in dataclasses.fields(TrainArgs):
+        name = "--" + f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(name, action="store_true", default=f.default)
+        elif f.name == "test_datasets":
+            p.add_argument(name, type=str, nargs="+", default=None)
+        else:
+            typ = {int: int, float: float}.get(type(f.default), str)
+            p.add_argument(name, type=typ, default=f.default)
+    return p
+
+
+def read_args(argv: Optional[List[str]] = None):
+    """Parse flags, load YAML config, sync fields, probe auto-resume.
+
+    Returns (args: TrainArgs, cfg: ConfigDict).
+    """
+    ns = build_arg_parser().parse_args(argv)
+    args = TrainArgs(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(TrainArgs)})
+    if args.cfg_file is None:
+        raise SystemExit("--cfg_file is required")
+    cfg = load_yaml_config(args.cfg_file)
+    args.sync_from_config(cfg)
+    os.makedirs(args.output_dir, exist_ok=True)
+    # auto-resume (reference parser.py:151-154; the reference probes a
+    # filename it never writes — we probe what we actually write)
+    latest = Path(args.output_dir) / "latest"
+    if latest.exists():
+        args.resume_from_checkpoint = str(latest)
+    return args, cfg
