@@ -1,12 +1,20 @@
 import os
+import sys
 
 # Force an 8-device CPU mesh for all tests: multi-chip sharding is validated
 # on virtual devices (the real machine has one TPU chip; see SURVEY.md §2.2).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# The image's sitecustomize registers a TPU PJRT plugin at *interpreter
+# startup* and exports JAX_PLATFORMS=axon, so env vars set here are too
+# late — but the backend itself is not yet *initialized*, so overriding
+# the platform through jax.config still wins.
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import json
 import math

@@ -1,0 +1,102 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navillm_tpu.models import llama as L
+from navillm_tpu.models.decoding import generate
+
+CFG = L.LlamaConfig.tiny(vocab_size=128)
+
+
+def _params():
+    return L.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_forward_shapes():
+    p = _params()
+    b, t = 2, 16
+    ids = jnp.arange(b * t).reshape(b, t) % CFG.vocab_size
+    mask = jnp.ones((b, t), bool)
+    x = L.embed_with_injection(p, ids)
+    h, _ = L.forward_hidden(p, CFG, x, mask)
+    assert h.shape == (b, t, CFG.hidden_size)
+    logits = L.logits_from_hidden(p, CFG, h)
+    assert logits.shape == (b, t, CFG.vocab_size)
+    assert logits.dtype == jnp.float32
+
+
+def test_left_padding_invariance():
+    """Logits at real token positions must not depend on left-pad amount."""
+    p = _params()
+    t = 12
+    ids = (jnp.arange(t) % CFG.vocab_size)[None, :]
+    mask = jnp.ones((1, t), bool)
+    h_ref, _ = L.forward_hidden(p, CFG, L.embed_with_injection(p, ids), mask)
+
+    pad = 5
+    ids_p = jnp.concatenate([jnp.zeros((1, pad), ids.dtype), ids], axis=1)
+    mask_p = jnp.concatenate([jnp.zeros((1, pad), bool), mask], axis=1)
+    h_pad, _ = L.forward_hidden(p, CFG, L.embed_with_injection(p, ids_p), mask_p)
+    np.testing.assert_allclose(np.asarray(h_pad[:, pad:]), np.asarray(h_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_injection_scatter():
+    p = _params()
+    ids = jnp.zeros((2, 6), jnp.int32)
+    pos = jnp.array([[1, 3], [-1, 2]])
+    emb = jnp.ones((2, 2, CFG.hidden_size))
+    x = L.embed_with_injection(p, ids, pos, emb)
+    base = p["embed"][0]
+    np.testing.assert_allclose(np.asarray(x[0, 1]), np.asarray(base + 1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(x[0, 0]), np.asarray(base), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(x[1, 2]), np.asarray(base + 1), rtol=1e-5)
+    # -1 slot must not touch position 0
+    np.testing.assert_allclose(np.asarray(x[1, 0]), np.asarray(base), rtol=1e-5)
+
+
+def test_loss_ignore_labels():
+    p = _params()
+    b, t = 1, 8
+    ids = jnp.arange(t)[None, :] % CFG.vocab_size
+    mask = jnp.ones((b, t), bool)
+    h, _ = L.forward_hidden(p, CFG, L.embed_with_injection(p, ids), mask)
+    logits = L.logits_from_hidden(p, CFG, h)
+    labels_all_ignored = jnp.full((b, t), -100)
+    assert float(L.causal_lm_loss(logits, labels_all_ignored)) == 0.0
+    labels = ids.at[:, :4].set(-100)
+    loss = float(L.causal_lm_loss(logits, labels))
+    assert loss > 0
+
+
+def test_cached_decode_matches_full_forward():
+    """Greedy decode with KV cache == argmax over repeated full forwards."""
+    p = _params()
+    b, t, n_new = 2, 10, 5
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(3, 100, size=(b, t)), jnp.int32)
+    # left-pad one row to also exercise padded prefill
+    mask = jnp.ones((b, t), bool).at[1, :3].set(False)
+    ids = ids.at[1, :3].set(0)
+
+    got = generate(p, CFG, ids, mask, eos_id=2, pad_id=0,
+                   max_new_tokens=n_new)
+
+    # reference: full forward each step
+    cur_ids, cur_mask = ids, mask
+    want = []
+    for _ in range(n_new):
+        h, _ = L.forward_hidden(p, CFG, L.embed_with_injection(p, cur_ids), cur_mask)
+        logits = (h[:, -1] @ p["lm_head"]).astype(jnp.float32)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        want.append(np.asarray(nxt))
+        cur_ids = jnp.concatenate([cur_ids, nxt[:, None]], axis=1)
+        cur_mask = jnp.concatenate([cur_mask, jnp.ones((b, 1), bool)], axis=1)
+    want = np.stack(want, axis=1)
+
+    got_np = np.asarray(got)
+    for bi in range(b):
+        for k in range(n_new):
+            if want[bi, k] == 2:
+                break
+            assert got_np[bi, k] == want[bi, k], (bi, k, got_np[bi], want[bi])

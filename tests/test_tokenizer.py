@@ -1,0 +1,52 @@
+import numpy as np
+
+from navillm_tpu.models.tokenization import ByteTokenizer, NavTokenizer
+
+
+def test_roundtrip():
+    tok = NavTokenizer()
+    s = "Navigate to the kitchen."
+    ids = tok.encode(s, add_bos=False)
+    assert tok.decode(ids) == s
+
+
+def test_special_tokens_parsed():
+    tok = NavTokenizer()
+    ids = tok.encode("(0) stop (1) <cand> (2) <cand>", add_bos=False)
+    assert ids.count(tok.cand_id) == 2
+    ids2 = tok.encode("<hist> then <obj> and <cls_1>", add_bos=False)
+    assert tok.hist_id in ids2 and tok.obj_id in ids2 and tok.cls_ids[0] in ids2
+
+
+def test_left_padding_and_types():
+    tok = NavTokenizer(pad_to_multiple=8)
+    batch = tok([("short prompt", "ans</s>"), "just a prompt string"])
+    ids, mask, tty = batch.input_ids, batch.attention_mask, batch.token_type_ids
+    assert ids.shape == mask.shape == tty.shape
+    assert ids.shape[1] % 8 == 0
+    # left-padded: invalid prefix, valid suffix
+    for row_m in mask:
+        k = int(row_m.sum())
+        assert not row_m[: len(row_m) - k].any() and row_m[len(row_m) - k:].all()
+    # answer tokens (incl. eos) are type 1 and only in the pair row
+    assert (tty[0] == 1).sum() > 0
+    assert (tty[1] == 1).sum() == 0
+    # eos parsed from "</s>" text
+    assert ids[0][-1] == tok.eos_id
+
+
+def test_truncation_left():
+    tok = NavTokenizer(max_length=16, pad_to_multiple=8)
+    long = "x" * 100
+    b = tok([long])
+    assert b.input_ids.shape[1] == 16
+    assert b.attention_mask.all()
+
+
+def test_logit_mask_covers_alignment_rows():
+    tok = NavTokenizer()
+    m = tok.special_logit_mask()
+    assert m.shape == (tok.vocab_size,)
+    assert m[tok.cand_id] and m[tok.cls_ids[1]]
+    assert m[tok.true_vocab_size:].all()
+    assert not m[tok.eos_id]
