@@ -63,7 +63,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     """One (batch*head, q-block) program: online-softmax over k blocks.
 
     Block shapes carry a leading singleton (batch*head) axis:
-    q_ref: [1, BQ, D]; k_ref/v_ref: [1, S, D]; mask_ref: [1, S] int32;
+    q_ref: [1, BQ, D]; k_ref/v_ref: [1, S, D]; mask_ref: [1, 1, S] int32;
     o_ref: [1, BQ, D].
     """
     q_blk_idx = pl.program_id(1)
@@ -82,7 +82,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s_blk = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
 
-        valid = mask_ref[0, pl.ds(kb * block_k, block_k)] > 0
+        valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)] > 0
         s_blk = jnp.where(valid[None, :], s_blk, NEG_INF)
         if causal:
             qi = q_blk_idx * block_q + \
@@ -142,7 +142,9 @@ def _flash_attention(q, k, v, kv_mask, causal, scale,
     qf = q.transpose(0, 2, 1, 3).reshape(b * nh, tp, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * nh, sp, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * nh, sp, d)
-    maskf = jnp.repeat(kv_mask.astype(jnp.int32), nh, axis=0)  # [B*NH, S]
+    # [B*NH, 1, S]: TPU block shapes need the last two dims tile-aligned
+    # or full-size; a singleton row keeps the mask block (1, 1, S) legal.
+    maskf = jnp.repeat(kv_mask.astype(jnp.int32), nh, axis=0)[:, None, :]
 
     grid = (b * nh, tp // block_q)
     kernel = functools.partial(_flash_kernel, scale=scale, causal=causal,
@@ -154,7 +156,7 @@ def _flash_attention(q, k, v, kv_mask, causal, scale,
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, sp, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, sp, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, sp), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, sp), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * nh, tp, d), q.dtype),
@@ -162,6 +164,37 @@ def _flash_attention(q, k, v, kv_mask, causal, scale,
     )(qf, kf, vf, maskf)
     out = out.reshape(b, nh, tp, d).transpose(0, 2, 1, 3)
     return out[:, :t]
+
+
+def _flash_differentiable(q, k, v, kv_mask, causal, scale, interpret):
+    """Flash forward + recompute backward through the XLA path.
+
+    The Pallas kernel has no autodiff rule; at this framework's sequence
+    lengths (<=1k tokens, SURVEY.md §5 long-context note) the [T, S]
+    score matrix is tiny (<100 MB transient), so the standard
+    flash-attention trick — recompute attention in the backward — is
+    implemented by differentiating the XLA reference path. Forward stays
+    fused (no HBM score matrix on the fwd pass).
+    """
+
+    @jax.custom_vjp
+    def f(q, k, v, kv_mask):
+        return _flash_attention(q, k, v, kv_mask, causal, scale,
+                                interpret=interpret)
+
+    def fwd(q, k, v, kv_mask):
+        return f(q, k, v, kv_mask), (q, k, v, kv_mask)
+
+    def bwd(res, g):
+        q, k, v, kv_mask = res
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _attention_xla(q_, k_, v_, kv_mask, causal,
+                                              scale), q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+
+    f.defvjp(fwd, bwd)
+    return f(q, k, v, kv_mask)
 
 
 def multi_head_attention(q, k, v, *, kv_mask=None, causal=True,
@@ -185,6 +218,8 @@ def multi_head_attention(q, k, v, *, kv_mask=None, causal=True,
         impl = "flash" if (on_tpu and t >= 8 and s >= 128 and d % 128 == 0) \
             else "xla"
     if impl == "flash":
-        return _flash_attention(q, k, v, kv_mask, causal, scale,
-                                interpret=interpret)
+        if kv_mask is None:
+            kv_mask = jnp.ones((q.shape[0], s), bool)
+        return _flash_differentiable(q, k, v, kv_mask, causal, scale,
+                                     interpret)
     return _attention_xla(q, k, v, kv_mask, causal, scale)

@@ -1,0 +1,84 @@
+"""Device mesh + sharding rules: the TPU-native distributed runtime.
+
+Replaces the reference's NCCL/DDP stack (tools/distributed.py:105-183,
+tools/optims.py:52-57) with a single jax.sharding.Mesh over ICI/DCN:
+  - axis 'data'  — batch (episodes) sharding; gradient psum over ICI is
+    inserted by XLA from the shardings (DDP all-reduce equivalent);
+  - axis 'model' — megatron-style tensor parallelism for the 7B LLM
+    (attention heads / MLP hidden), optional: tp_size=1 replicates.
+
+No process groups, no rendezvous: multihost jax initializes the global
+mesh from jax.devices(); the task-id broadcast the reference does with
+dist.broadcast (tasks/loaders.py:176-180) becomes a shared-seed host RNG
+(see training/sampler.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass
+class MeshPlan:
+    mesh: Mesh
+    dp_size: int
+    tp_size: int
+
+    @property
+    def num_devices(self) -> int:
+        return self.dp_size * self.tp_size
+
+    def data_sharding(self, *batch_axes) -> NamedSharding:
+        """Sharding for a batch array: leading axis over 'data'."""
+        return NamedSharding(self.mesh, P("data", *batch_axes))
+
+    def named(self, spec: P) -> NamedSharding:
+        return NamedSharding(self.mesh, spec)
+
+
+def make_mesh(dp_size: int = -1, tp_size: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> MeshPlan:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp_size == -1:
+        assert n % tp_size == 0, (n, tp_size)
+        dp_size = n // tp_size
+    assert dp_size * tp_size <= n, (dp_size, tp_size, n)
+    grid = np.asarray(devices[: dp_size * tp_size]).reshape(dp_size, tp_size)
+    mesh = Mesh(grid, axis_names=("data", "model"))
+    return MeshPlan(mesh=mesh, dp_size=dp_size, tp_size=tp_size)
+
+
+def replicated(plan: MeshPlan) -> NamedSharding:
+    return NamedSharding(plan.mesh, P())
+
+
+def shard_params(params: Dict[str, Any], specs: Dict[str, Any],
+                 plan: MeshPlan) -> Dict[str, Any]:
+    """Place a param pytree on the mesh. `specs` mirrors the tree with
+    PartitionSpec leaves; missing subtrees replicate."""
+
+    def place(path, leaf):
+        spec = specs
+        try:
+            for k in path:
+                spec = spec[k.key] if hasattr(k, "key") else spec[k.idx]
+        except (KeyError, TypeError, IndexError):
+            spec = P()
+        if not isinstance(spec, P):
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(plan.mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def nav_param_specs(nav_cfg) -> Dict[str, Any]:
+    """PartitionSpecs for the full NavModel param tree: LLM sharded per
+    llama.partition_specs, pano encoder + heads replicated (they are
+    <1% of the params; replication avoids tiny-matmul collectives)."""
+    from ..models import llama as L
+    return {"llm": L.partition_specs(nav_cfg.llm)}
