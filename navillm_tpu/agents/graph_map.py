@@ -1,0 +1,90 @@
+"""Per-episode topological memory (reference models/graph_utils.py:99-185).
+
+GraphMap tracks discovered nodes, their positions, pooled embeddings,
+step ids, and incremental shortest paths. Differences from the
+reference, chosen for the TPU pipeline:
+  - shortest paths come from the C++ EpisodeGraph (exact FloydGraph
+    semantics, navillm_tpu/sim/graph.py) instead of O(V^2) Python;
+  - node embeddings are host numpy [H] accumulators (sum, count) —
+    they are graph *memory*, detached from autodiff by design
+    (reference detaches too, mp3d_agent.py:692-698).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..sim.geometry import (MAX_DIST, MAX_STEP, angle_feature,
+                            position_distance, rel_heading_elevation_dist)
+from ..sim.graph import EpisodeGraph
+
+
+class GraphMap:
+    def __init__(self, start_vp: str, capacity: int = 256):
+        self.start_vp = start_vp
+        self.node_positions: Dict[str, np.ndarray] = {}
+        self.graph = EpisodeGraph(capacity=capacity)
+        self._embed_sum: Dict[str, np.ndarray] = {}
+        self._embed_cnt: Dict[str, int] = {}
+        self.node_step_ids: Dict[str, int] = {}
+        self.node_stop_scores: Dict[str, dict] = {}
+
+    def update_graph(self, ob: dict):
+        """Register the current viewpoint + its candidates
+        (graph_utils.py:111-117)."""
+        vp = ob["viewpoint"]
+        self.node_positions[vp] = np.asarray(ob["position"], np.float64)
+        for cc in ob["candidate"]:
+            cvp = cc["viewpointId"]
+            self.node_positions[cvp] = np.asarray(cc["position"], np.float64)
+            dist = position_distance(ob["position"], cc["position"])
+            self.graph.add_edge(vp, cvp, dist)
+        self.graph.update(vp)
+
+    def update_node_embed(self, vp: str, embed: np.ndarray,
+                          rewrite: bool = False):
+        """Mean-pooled accumulation (graph_utils.py:119-133)."""
+        embed = np.asarray(embed, np.float32)
+        if rewrite or vp not in self._embed_sum:
+            self._embed_sum[vp] = embed.copy()
+            self._embed_cnt[vp] = 1
+        else:
+            self._embed_sum[vp] += embed
+            self._embed_cnt[vp] += 1
+
+    def get_node_embed(self, vp: str) -> np.ndarray:
+        return self._embed_sum[vp] / self._embed_cnt[vp]
+
+    def has_node_embed(self, vp: str) -> bool:
+        return vp in self._embed_sum
+
+    def visited(self, vp: str) -> bool:
+        return self.graph.visited(vp)
+
+    def nodes(self) -> List[str]:
+        return list(self.node_positions.keys())
+
+    def get_pos_fts(self, cur_vp: str, vpids: List[Optional[str]],
+                    cur_heading: float, cur_elevation: float,
+                    angle_feat_size: int = 4) -> np.ndarray:
+        """7-dim rel-pos features per node; None rows are zero
+        (graph_utils.py:144-165)."""
+        n = len(vpids)
+        out = np.zeros((n, angle_feat_size + 3), np.float32)
+        cur_pos = self.node_positions[cur_vp]
+        for k, vp in enumerate(vpids):
+            if vp is None:
+                out[k, :angle_feat_size] = angle_feature(0.0, 0.0,
+                                                         angle_feat_size)
+                continue
+            h, e, line = rel_heading_elevation_dist(
+                cur_pos, self.node_positions[vp], cur_heading, cur_elevation)
+            out[k, :angle_feat_size] = angle_feature(float(h), float(e),
+                                                     angle_feat_size)
+            out[k, angle_feat_size] = line / MAX_DIST
+            out[k, angle_feat_size + 1] = \
+                self.graph.distance(cur_vp, vp) / MAX_DIST
+            out[k, angle_feat_size + 2] = \
+                len(self.graph.path(cur_vp, vp)) / MAX_STEP
+        return out

@@ -1,0 +1,735 @@
+"""MP3D rollout engine: the host-side policy loop.
+
+TPU-native re-design of the reference MP3DAgent (tasks/agents/
+mp3d_agent.py:80-1014). The hot loop keeps the reference's semantics —
+per-step panorama encode, graph-memory update, global/local fusion,
+prompt assembly, LLM navigation step, teacher/sample/argmax action,
+per-step loss with detached graph memory, sub-task heads on the final
+step — but all ragged Python/tensor assembly becomes fixed-shape numpy
+arrays consumed by jitted device calls (NavModelRunner), and gradients
+accumulate in a device pytree instead of per-step .backward().
+
+Key structural mappings (reference -> here):
+  panorama_feature_variable_object (98-211)  -> panorama_inputs()
+  nav_gmap_variable (304-371)                -> nav_gmap_inputs()
+  nav_vp_variable (264-301)                  -> nav_vp_inputs()
+  fuse-loop dedup (nav_model.py:164-196)     -> local_match_slot array
+  torch.randperm candidates (nav_model 214)  -> host RNG cand_order
+  teacher_action[_r4r] (373-455)             -> teacher_action()
+  make_equiv_action (475-491)                -> make_equiv_action()
+  rollout (593-964)                          -> rollout()
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..models.trie import DenseTrie
+from ..utils.registry import AGENTS
+from . import prompts as P
+from .graph_map import GraphMap
+from .runner import NavModelRunner, RolloutDims
+
+CLS_TOKEN_TEXT = "<cls_1>"
+
+
+def get_results(pred_results: Dict[str, dict], detailed_output=False):
+    """Flatten per-episode results (reference mp3d_agent.py:54-77)."""
+    out = []
+    for k, v in pred_results.items():
+        ret = {"instr_id": k, "trajectory": v["path"]}
+        if "answer" in v:
+            ret.update({
+                "pred_answer": v.get("generated_sentences", ""),
+                "oracle_pred_answer": v.get("oracle_pred_answer", ""),
+                "gt_answer": v["answer"],
+            })
+        if "pred_objid" in v:
+            ret.update({"pred_objid": v["pred_objid"],
+                        "pred_obj_direction": v["pred_obj_direction"]})
+        out.append(ret)
+    return out
+
+
+class MP3DAgent:
+    name = "mp3d"
+
+    def __init__(self, args, world, runner: NavModelRunner,
+                 dims: Optional[RolloutDims] = None):
+        self.args = args
+        self.world = world
+        self.runner = runner
+        self.dims = dims or runner.dims
+        self.scanvp_cands: Dict[str, Dict[str, int]] = {}
+        self.np_rng = np.random.RandomState(args.seed)
+
+    # ---------------- prompt schema dispatch (per-task subclasses) ------ #
+    def get_prompt(self, task, *a, **kw):
+        kind = {"navigation": P.navigation_prompt,
+                "summarization": P.summarization_prompt,
+                "embodied_qa": P.embodied_qa_prompt,
+                "object_grounding": P.object_grounding_prompt}[task]
+        return kind(self.name, *a, **kw)
+
+    # ------------------------------------------------------------------- #
+    def update_scanvp_cands(self, obs):
+        for ob in obs:
+            key = "%s_%s" % (ob["scan"], ob["viewpoint"])
+            slot = self.scanvp_cands.setdefault(key, {})
+            for cand in ob["candidate"]:
+                slot[cand["viewpointId"]] = cand["pointId"]
+
+    def dist(self, scan: str, a: str, b: str) -> float:
+        return self.world.graph(scan).distance(a, b)
+
+    # ---------------- fixed-shape input assembly ----------------------- #
+    def panorama_inputs(self, obs, with_objects: bool = True,
+                        twelve_views: bool = False) -> Dict[str, Any]:
+        """Candidate views first, then non-candidate views, padded to
+        max_views (reference panorama_feature_variable_object)."""
+        D = self.args.image_feat_size
+        V = self.dims.max_views
+        b = len(obs)
+        view_img = np.zeros((b, V, D), np.float32)
+        loc_fts = np.zeros((b, V, self.args.angle_feat_size + 3), np.float32)
+        nav_types = np.zeros((b, V), np.int32)
+        view_lens = np.zeros((b,), np.int32)
+        cand_vpids: List[List[str]] = []
+
+        has_obj = with_objects and "obj_img_fts" in obs[0]
+        O = self.dims.max_objects
+        if has_obj:
+            Do = self.args.obj_feat_size
+            obj_img = np.zeros((b, O, Do), np.float32)
+            obj_loc = np.zeros((b, O, self.args.angle_feat_size + 3),
+                               np.float32)
+            obj_lens = np.zeros((b,), np.int32)
+            obj_ids: List[List] = []
+
+        for i, ob in enumerate(obs):
+            feats = ob["feature"]          # [36, D + A]
+            if twelve_views:
+                n = min(36, V)
+                view_img[i, :n] = feats[:n, :D]
+                loc_fts[i, :n, : self.args.angle_feat_size] = feats[:n, D:]
+                loc_fts[i, :n, self.args.angle_feat_size:] = 1.0
+                nav_types[i, : min(12, n)] = 1
+                view_lens[i] = n
+                cand_vpids.append([None] * 36)
+            else:
+                used = set()
+                k = 0
+                for cc in ob["candidate"]:
+                    if k >= V:
+                        break
+                    view_img[i, k] = cc["feature"][:D]
+                    loc_fts[i, k, : self.args.angle_feat_size] = \
+                        cc["feature"][D:]
+                    loc_fts[i, k, self.args.angle_feat_size:] = 1.0
+                    nav_types[i, k] = 1
+                    used.add(cc["pointId"])
+                    k += 1
+                cand_vpids.append([cc["viewpointId"]
+                                   for cc in ob["candidate"]][:k])
+                for vi in range(36):
+                    if vi in used or k >= V:
+                        continue
+                    view_img[i, k] = feats[vi, :D]
+                    loc_fts[i, k, : self.args.angle_feat_size] = feats[vi, D:]
+                    loc_fts[i, k, self.args.angle_feat_size:] = 1.0
+                    k += 1
+                view_lens[i] = k
+            if has_obj:
+                n_obj = min(len(ob["obj_img_fts"]), O)
+                if n_obj:
+                    obj_img[i, :n_obj] = ob["obj_img_fts"][:n_obj]
+                    obj_loc[i, :n_obj] = np.concatenate(
+                        [ob["obj_ang_fts"][:n_obj],
+                         ob["obj_box_fts"][:n_obj]], 1)
+                obj_lens[i] = n_obj
+                obj_ids.append(list(ob["obj_ids"])[:n_obj])
+
+        ret = {"view_img_fts": view_img, "loc_fts": loc_fts,
+               "nav_types": nav_types, "view_lens": view_lens,
+               "cand_vpids": cand_vpids}
+        if has_obj:
+            ret.update({"obj_img_fts": obj_img, "obj_loc_fts": obj_loc,
+                        "obj_lens": obj_lens, "obj_ids": obj_ids})
+        return ret
+
+    def nav_gmap_inputs(self, obs, gmaps: List[GraphMap]) -> Dict[str, Any]:
+        G = self.dims.max_gmap_nodes
+        H = self.runner.cfg.hidden_size
+        b = len(obs)
+        A = self.args.angle_feat_size
+        img = np.zeros((b, G, H), np.float32)
+        step_ids = np.zeros((b, G), np.int32)
+        pos_fts = np.zeros((b, G, A + 3), np.float32)
+        masks = np.zeros((b, G), bool)
+        visited = np.zeros((b, G), bool)
+        gmap_vpids: List[List[Optional[str]]] = []
+        no_vp_left = []
+        for i, gmap in enumerate(gmaps):
+            vis, unvis = [], []
+            for k in gmap.node_positions:
+                (vis if gmap.visited(k) else unvis).append(k)
+            no_vp_left.append(len(unvis) == 0)
+            if self.args.enc_full_graph:
+                vpids = [None] + vis + unvis
+                vmask = [False] + [True] * len(vis) + [False] * len(unvis)
+            else:
+                vpids = [None] + unvis
+                vmask = [False] * len(vpids)
+            vpids, vmask = vpids[:G], vmask[:G]
+            gmap_vpids.append(vpids)
+            n = len(vpids)
+            masks[i, :n] = True
+            visited[i, :n] = vmask
+            step_ids[i, :n] = [gmap.node_step_ids.get(vp, 0) for vp in vpids]
+            for k, vp in enumerate(vpids):
+                if k > 0 and gmap.has_node_embed(vp):
+                    img[i, k] = gmap.get_node_embed(vp)
+            pos_fts[i, :n] = gmap.get_pos_fts(obs[i]["viewpoint"], vpids,
+                                              obs[i]["heading"],
+                                              obs[i]["elevation"], A)
+        return {"gmap_img_embeds": img, "gmap_step_ids": step_ids,
+                "gmap_pos_fts": pos_fts, "gmap_masks": masks,
+                "gmap_visited_masks": visited, "gmap_vpids": gmap_vpids,
+                "no_vp_left": no_vp_left}
+
+    def nav_vp_inputs(self, obs, gmaps, pano_embeds, pano_masks, cand_vpids
+                      ) -> Dict[str, Any]:
+        """[stop] + panorama views, with 14-dim pos features
+        (reference nav_vp_variable)."""
+        b, V, H = pano_embeds.shape
+        A = self.args.angle_feat_size
+        vp_img = np.zeros((b, V + 1, H), np.float32)
+        vp_img[:, 1:] = pano_embeds
+        masks = np.zeros((b, V + 1), bool)
+        masks[:, 0] = True
+        masks[:, 1:] = pano_masks
+        pos = np.zeros((b, V + 1, 2 * A + 6), np.float32)
+        for i, gmap in enumerate(gmaps):
+            start = gmap.get_pos_fts(obs[i]["viewpoint"], [gmap.start_vp],
+                                     obs[i]["heading"], obs[i]["elevation"], A)
+            pos[i, :, : A + 3] = start[0]
+            cand = gmap.get_pos_fts(obs[i]["viewpoint"], cand_vpids[i],
+                                    obs[i]["heading"], obs[i]["elevation"], A)
+            pos[i, 1: len(cand_vpids[i]) + 1, A + 3:] = cand
+        return {"vp_img_embeds": vp_img, "vp_pos_fts": pos,
+                "pano_masks": masks,
+                "vp_cand_vpids": [[None] + list(x) for x in cand_vpids]}
+
+    def local_match_slots(self, gmap_vpids, vp_cand_vpids, gmaps,
+                          width: int) -> np.ndarray:
+        """[B, width]: gmap slot of local candidate j's vpid if unvisited,
+        else -1 (replaces the per-sample fuse loop nav_model.py:164-189).
+        `width` must equal vp_img_embeds.shape[1]."""
+        b = len(gmap_vpids)
+        out = np.full((b, width), -1, np.int32)
+        for i in range(b):
+            index = {vp: k for k, vp in enumerate(gmap_vpids[i]) if vp}
+            for j, vp in enumerate(vp_cand_vpids[i]):
+                if j == 0 or vp is None:
+                    continue
+                if not gmaps[i].visited(vp) and vp in index:
+                    out[i, j] = index[vp]
+        return out
+
+    def cand_order_and_prompts(self, gmap_inputs, instructions, history,
+                               validate=False):
+        """Random candidate permutation + schema prompts. Returns
+        (cand_order [B,C], prompts, cand_nums)."""
+        C = self.dims.max_cands
+        b = len(instructions)
+        order = np.full((b, C), -1, np.int32)
+        prompts = []
+        cand_nums = []
+        for i in range(b):
+            slots = [k for k, vp in enumerate(gmap_inputs["gmap_vpids"][i])
+                     if k > 0 and vp is not None
+                     and not gmap_inputs["gmap_visited_masks"][i][k]]
+            perm = self.np_rng.permutation(slots)[:C]
+            order[i, : len(perm)] = perm
+            cand_num = len(slots) + 1          # + stop
+            cand_nums.append(cand_num)
+            prompts.append(self.get_prompt(
+                "navigation", instruction=instructions[i],
+                hist_num=len(history[i]), cand_num=min(cand_num, C + 1),
+                cls_token=CLS_TOKEN_TEXT))
+        return order, prompts, cand_nums
+
+    def hist_arrays(self, hist_vis):
+        Hh = self.dims.max_hist
+        H = self.runner.cfg.hidden_size
+        b = len(hist_vis)
+        out = np.zeros((b, Hh, H), np.float32)
+        for i, vis in enumerate(hist_vis):
+            tail = vis[-Hh:]
+            for k, v in enumerate(tail):
+                out[i, k] = v
+        return out
+
+    # ---------------- expert policies ---------------------------------- #
+    def teacher_action(self, obs, vpids, ended, visited_masks=None,
+                       imitation_learning=False, t=None) -> np.ndarray:
+        """Merged teacher_action / teacher_action_r4r
+        (mp3d_agent.py:373-455): IL on R2R follows the gt path step;
+        otherwise greedy expert minimizing d(cur, v) + d(v, goal)."""
+        a = np.zeros(len(obs), np.int64)
+        for i, ob in enumerate(obs):
+            if ended[i]:
+                a[i] = self.args.ignoreid
+                continue
+            is_r2r = "r2r" in ob["instr_id"]
+            if imitation_learning and is_r2r:
+                assert ob["viewpoint"] == ob["gt_path"][t], \
+                    (ob["viewpoint"], ob["gt_path"], t)
+                if t == len(ob["gt_path"]) - 1:
+                    a[i] = 0
+                else:
+                    goal = ob["gt_path"][t + 1]
+                    for j, vpid in enumerate(vpids[i]):
+                        if vpid == goal:
+                            a[i] = j
+                            break
+            elif ob["viewpoint"] == ob["gt_path"][-1]:
+                a[i] = 0
+            else:
+                scan, cur, goal = ob["scan"], ob["viewpoint"], ob["gt_path"][-1]
+                min_idx, min_dist = self.args.ignoreid, float("inf")
+                for j, vpid in enumerate(vpids[i]):
+                    if j == 0 or vpid is None:
+                        continue
+                    if visited_masks is not None and visited_masks[i][j]:
+                        continue
+                    d = self.dist(scan, vpid, goal) + self.dist(scan, cur, vpid)
+                    if d < min_dist:
+                        min_dist, min_idx = d, j
+                a[i] = min_idx
+        return a
+
+    def teacher_object(self, obs) -> np.ndarray:
+        """Target object slot, +1 for 'not exist' offset
+        (mp3d_agent.py:458-472)."""
+        targets = np.zeros(len(obs), np.int64)
+        for i, ob in enumerate(obs):
+            targets[i] = self.args.ignoreid
+            if len(ob["obj_ids"]) and ob["viewpoint"] in ob["gt_end_vps"]:
+                for j, obj_id in enumerate(ob["obj_ids"]):
+                    if str(obj_id) == str(ob["gt_obj_id"]):
+                        targets[i] = j + 1
+                        break
+        return targets
+
+    def make_equiv_action(self, a_t_vpids, gmaps, obs, traj, envs):
+        """Append graph path + teleport the sim (mp3d_agent.py:475-491)."""
+        for i, ob in enumerate(obs):
+            action = a_t_vpids[i]
+            if action is None:
+                continue
+            traj[i]["path"].append(gmaps[i].graph.path(ob["viewpoint"],
+                                                       action))
+            if len(traj[i]["path"][-1]) == 1:
+                prev_vp = traj[i]["path"][-2][-1]
+            else:
+                prev_vp = traj[i]["path"][-1][-2]
+            viewidx = self.scanvp_cands["%s_%s" % (ob["scan"], prev_vp)][action]
+            heading = (viewidx % 12) * math.radians(30)
+            elevation = (viewidx // 12 - 1) * math.radians(30)
+            envs[i].new_episode(0, ob["scan"], action, heading, elevation)
+
+    # ---------------- train / validate entry points -------------------- #
+    def train(self, name, batch, args, config, dataset, step=0,
+              metrics=None, **kwargs):
+        stage_cfg = config.Pretrain if args.stage == "pretrain" else config.Multi
+        loss_coef = stage_cfg.LOSS_COEF.get(name, 1.0) \
+            if "LOSS_COEF" in stage_cfg else 1.0
+        if args.stage == "pretrain" or step % 2 == 0:
+            loss, _ = self.rollout(args, name, config.Optim, batch,
+                                   dataset=dataset, feedback="teacher",
+                                   train_ml=loss_coef *
+                                   args.teacher_forcing_coef,
+                                   metrics=metrics, **kwargs)
+        else:
+            loss, _ = self.rollout(args, name, config.Optim, batch,
+                                   dataset=dataset, feedback="sample",
+                                   train_ml=loss_coef, metrics=metrics,
+                                   **kwargs)
+        return loss * args.gradient_accumulation_step
+
+    def validate(self, name, args, config, loader, dataset=None, **kwargs):
+        results = {}
+        trie = None
+        if name in ("EQA",):
+            trie_seqs = []
+            for word in dataset.answer_vocab:
+                ids = self.runner.tok.encode(word, add_bos=True)
+                trie_seqs.append(ids)
+            trie = DenseTrie(trie_seqs, eos_id=self.runner.tok.eos_id)
+        looped = False
+        for batch in loader:
+            _, traj = self.rollout(
+                args, name, config.Optim, batch, dataset=dataset,
+                feedback="sample" if args.do_sample else "argmax",
+                train_ml=None, validate=True, trie=trie, **kwargs)
+            for s in traj:
+                if s["instr_id"] in results:
+                    looped = True
+                else:
+                    results[s["instr_id"]] = s
+            if name in ("EQA",):
+                _, oracle_traj = self.rollout(
+                    args, name, config.Optim, batch, dataset=dataset,
+                    feedback="teacher", train_ml=1, validate=True,
+                    trie=trie, **kwargs)
+                for s in oracle_traj:
+                    results[s["instr_id"]]["oracle_pred_answer"] = \
+                        s.get("generated_sentences", "")
+            if looped:
+                break
+        return get_results(results)
+
+    # ---------------- the rollout hot loop ----------------------------- #
+    def rollout(self, args, name, optim_cfg, batch_dict, dataset, feedback,
+                train_ml, validate=False, trie=None, metrics=None, **kwargs):
+        obs = [o for o in batch_dict["observations"]]
+        envs = batch_dict["env"]
+        items = batch_dict["item"]
+        data_type = batch_dict["data_type"]
+        batch_size = len(obs)
+        training = train_ml is not None and not validate
+
+        max_action_len = optim_cfg.val_max_action_len[name] if validate \
+            else optim_cfg.train_max_action_len[name]
+
+        self.update_scanvp_cands(obs)
+        gmaps = [GraphMap(ob["viewpoint"]) for ob in obs]
+        for i, ob in enumerate(obs):
+            gmaps[i].update_graph(ob)
+
+        traj = [{"instr_id": ob["instr_id"], "path": [[ob["viewpoint"]]],
+                 "details": {}} for ob in obs]
+        ended = np.zeros(batch_size, bool)
+        just_ended = np.zeros(batch_size, bool)
+        instructions = [ob["instruction"] for ob in obs]
+        history = [[] for _ in range(batch_size)]
+        hist_vis: List[List[np.ndarray]] = [[] for _ in range(batch_size)]
+        ml_loss = 0.0
+        flag = False
+
+        for t in range(max_action_len):
+            if ended.all() or t == max_action_len - 1:
+                flag = True
+            for i, gmap in enumerate(gmaps):
+                if not ended[i]:
+                    gmap.node_step_ids[obs[i]["viewpoint"]] = t + 1
+
+            # -- panorama encode + graph memory update --
+            pano_inputs = self.panorama_inputs(obs)
+            pano_out = self.runner.panorama(pano_inputs,
+                                            deterministic=not training)
+            pano_embeds = pano_out["pano_embeds"]     # [B, V, H] numpy
+            pano_masks = pano_out["pano_masks"]
+            denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
+            avg_pano = (pano_embeds * pano_masks[..., None]).sum(1) / denom
+            for i, gmap in enumerate(gmaps):
+                if ended[i]:
+                    continue
+                gmap.update_node_embed(obs[i]["viewpoint"], avg_pano[i],
+                                       rewrite=True)
+                for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
+                    if not gmap.visited(cvp):
+                        gmap.update_node_embed(cvp, pano_embeds[i, j])
+
+            # -- assemble navigation batch --
+            gmap_in = self.nav_gmap_inputs(obs, gmaps)
+            vp_in = self.nav_vp_inputs(obs, gmaps, pano_embeds, pano_masks,
+                                       pano_inputs["cand_vpids"])
+            match = self.local_match_slots(
+                gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
+                width=vp_in["vp_img_embeds"].shape[1])
+            order, prompts, cand_nums = self.cand_order_and_prompts(
+                gmap_in, instructions, history, validate)
+            tok_batch, cand_pos, hist_pos, cls_pos = \
+                self.runner.tokenize_with_positions(prompts)
+            nav_batch = {
+                "gmap_img_embeds": gmap_in["gmap_img_embeds"],
+                "gmap_step_ids": gmap_in["gmap_step_ids"],
+                "gmap_pos_fts": gmap_in["gmap_pos_fts"],
+                "gmap_masks": gmap_in["gmap_masks"],
+                "gmap_visited_masks": gmap_in["gmap_visited_masks"],
+                "vp_img_embeds": vp_in["vp_img_embeds"],
+                "vp_pos_fts": vp_in["vp_pos_fts"],
+                "pano_masks": vp_in["pano_masks"],
+                "local_match_slot": match,
+                "cand_order": order,
+                "cand_positions": cand_pos,
+                "hist_positions": hist_pos,
+                "hist_embeds": self.hist_arrays(hist_vis),
+                "input_ids": tok_batch.input_ids,
+                "attention_mask": tok_batch.attention_mask,
+                "cls_pos": cls_pos,
+            }
+
+            nav_vpids = gmap_in["gmap_vpids"]
+            nav_targets = None
+            if train_ml is not None:
+                nav_targets = self.teacher_action(
+                    obs, nav_vpids, ended,
+                    visited_masks=gmap_in["gmap_visited_masks"],
+                    imitation_learning=(feedback == "teacher"), t=t)
+            coef = (train_ml or 0.0) / batch_size / \
+                args.gradient_accumulation_step
+            logits, fuse_embeds, step_loss = self.runner.navigation(
+                nav_batch, targets=nav_targets, coef=coef,
+                train=training)
+            ml_loss += step_loss
+
+            # -- action selection --
+            if feedback == "teacher":
+                a_t = nav_targets.copy()
+            elif feedback == "sample":
+                a_t = np.zeros(batch_size, np.int64)
+                probs = _softmax(logits / max(args.temperature, 1e-6))
+                for i in range(batch_size):
+                    p = probs[i].astype(np.float64)
+                    a_t[i] = self.np_rng.choice(len(p), p=p / p.sum())
+            elif feedback == "argmax":
+                a_t = logits.argmax(1)
+            else:
+                raise NotImplementedError(feedback)
+
+            for i in range(batch_size):
+                if a_t[i] == self.args.ignoreid:
+                    continue
+                history[i].append("<hist>")
+                hist_vis[i].append(fuse_embeds[i, a_t[i]])
+
+            if not validate:
+                assert feedback in ("teacher", "sample")
+                a_t_stop = [ob["viewpoint"] == ob["gt_path"][-1] for ob in obs]
+            else:
+                a_t_stop = (a_t == 0)
+
+            # -- sub-task heads on the final step --
+            if data_type[0] in ("soon", "reverie") and args.enable_og and flag:
+                ml_loss += self._object_grounding_step(
+                    args, obs, gmaps, gmap_in, instructions, history,
+                    hist_vis, pano_inputs, traj, batch_size,
+                    validate=validate, training=training)
+
+            enable_fgr2r = (feedback == "teacher" and not flag
+                            and not a_t_stop[0] and data_type[0] == "r2r"
+                            and not validate and "fg_instruction" in obs[0]
+                            and args.enable_fgr2r)
+            if enable_fgr2r:
+                ml_loss += self._generation_step(
+                    args, obs, gmaps, history=[[] for _ in obs],
+                    hist_vis=[[] for _ in obs],
+                    instructions=["where are we going with direction ({}) ?"
+                                  .format(int(idx)) for idx in nav_targets],
+                    answers=[ob["fg_instruction"][ob["fg_view"][t]]
+                             for ob in obs],
+                    mode="embodied_qa", task="r2r", validate=validate,
+                    training=training, traj=traj, trie=None)
+
+            if data_type[0] == "eqa":
+                enable_summarize = flag
+            elif data_type[0] in ("r2r", "soon", "reverie", "r2r_aug",
+                                  "reverie_aug"):
+                enable_summarize = (feedback in ("teacher", "argmax") and flag
+                                    and args.enable_summarize
+                                    and (not validate or args.mode == "test"))
+            else:
+                enable_summarize = False
+            if enable_summarize:
+                mode = "embodied_qa" if data_type[0] == "eqa" else \
+                    "summarization"
+                answers = [ob.get("answer", "") if data_type[0] == "eqa"
+                           else ob["instruction"] for ob in obs]
+                ml_loss += self._generation_step(
+                    args, obs, gmaps, history=history, hist_vis=hist_vis,
+                    instructions=instructions, answers=answers, mode=mode,
+                    task=self.name, validate=validate, training=training,
+                    traj=traj, trie=trie)
+
+            # -- environment action --
+            cpu_a_t: List[Optional[str]] = []
+            for i in range(batch_size):
+                if a_t_stop[i] or ended[i] or gmap_in["no_vp_left"][i] \
+                        or t == max_action_len - 1:
+                    cpu_a_t.append(None)
+                    just_ended[i] = True
+                else:
+                    cpu_a_t.append(nav_vpids[i][a_t[i]])
+            self.make_equiv_action(cpu_a_t, gmaps, obs, traj, envs)
+
+            new_obs = []
+            for i in range(batch_size):
+                new_obs.append(dataset.get_obs(items=[items[i]], env=envs[i],
+                                               data_type=data_type[i])[0])
+            obs = new_obs
+            self.update_scanvp_cands(obs)
+            for i, ob in enumerate(obs):
+                if not ended[i]:
+                    gmaps[i].update_graph(ob)
+            ended = np.logical_or(ended,
+                                  np.array([x is None for x in cpu_a_t]))
+            if flag:
+                break
+
+        return ml_loss, traj
+
+    # ---------------- sub-task heads ----------------------------------- #
+    def _object_grounding_step(self, args, obs, gmaps, gmap_in, instructions,
+                               history, hist_vis, pano_inputs, traj,
+                               batch_size, validate, training):
+        pano_in = self.panorama_inputs(obs)
+        pano_out = self.runner.panorama(pano_in, deterministic=not training)
+        H = self.runner.cfg.hidden_size
+        O = self.dims.max_objects
+        if "obj_embeds" in pano_out:
+            obj_embeds = pano_out["obj_embeds"]
+            obj_masks = pano_out["obj_masks"]
+            obj_loc = pano_out["obj_loc_fts"]
+        else:
+            obj_embeds = np.zeros((batch_size, O, H), np.float32)
+            obj_masks = np.zeros((batch_size, O), bool)
+            obj_loc = np.zeros((batch_size, O,
+                                self.args.angle_feat_size + 3), np.float32)
+        prompts = []
+        for i in range(batch_size):
+            cand_num = int(obj_masks[i].sum()) + 1
+            prompts.append(self.get_prompt(
+                "object_grounding", instruction=instructions[i],
+                hist_num=len(history[i]), cand_num=cand_num,
+                cls_token=CLS_TOKEN_TEXT))
+        tok_batch, cand_pos, hist_pos, cls_pos = \
+            self.runner.tokenize_with_positions(prompts,
+                                                max_cands=O)
+        og_batch = {
+            "obj_embeds": obj_embeds, "obj_loc_fts": obj_loc,
+            "obj_masks": obj_masks, "input_ids": tok_batch.input_ids,
+            "attention_mask": tok_batch.attention_mask,
+            "cand_positions": cand_pos, "hist_positions": hist_pos,
+            "hist_embeds": self.hist_arrays(hist_vis), "cls_pos": cls_pos,
+        }
+        loss = 0.0
+        if training:
+            targets = self.teacher_object(obs)
+            coef = args.obj_loss_coef / batch_size / \
+                args.gradient_accumulation_step
+            obj_logits, loss = self.runner.object_grounding(
+                og_batch, targets=targets, coef=coef, train=True)
+        else:
+            obj_logits, _ = self.runner.object_grounding(og_batch)
+        for i in range(batch_size):
+            objids = obs[i]["obj_ids"]
+            if len(objids):
+                best = int(obj_logits[i, 1: len(objids) + 1].argmax())
+                traj[i]["pred_objid"] = objids[best]
+                dirs = obs[i].get("obj_directions")
+                traj[i]["pred_obj_direction"] = dirs[best] if dirs else None
+            else:
+                traj[i]["pred_objid"] = None
+                traj[i]["pred_obj_direction"] = None
+        return loss
+
+    def _generation_step(self, args, obs, gmaps, history, hist_vis,
+                         instructions, answers, mode, task, validate,
+                         training, traj, trie):
+        """Summarization / embodied-QA generation head: 12-view panorama
+        + teacher-forced loss (train) or constrained decode (eval)."""
+        pano_in = self.panorama_inputs(obs, with_objects=False,
+                                       twelve_views=True)
+        pano_out = self.runner.panorama(pano_in, deterministic=not training)
+        pano_embeds = pano_out["pano_embeds"]     # [B, V, H]
+        b = len(obs)
+        # nav-type==1 views are a contiguous prefix: 12 horizon views
+        nav_mask = (pano_in["nav_types"] == 1) & pano_out["pano_masks"]
+        cand_counts = nav_mask.sum(1)
+        C = int(cand_counts.max())
+        prompts = [self.get_prompt(mode, instruction=instructions[i],
+                                   hist_num=len(history[i]),
+                                   cand_num=int(cand_counts[i]))
+                   for i in range(b)]
+        if training:
+            texts = [[p, a + self.runner.tok.eos_token]
+                     for p, a in zip(prompts, answers)]
+        else:
+            texts = prompts
+        tok_batch, cand_pos, hist_pos, _ = \
+            self.runner.tokenize_with_positions(texts, max_cands=max(C, 1))
+        gen_batch = {
+            "input_ids": tok_batch.input_ids,
+            "attention_mask": tok_batch.attention_mask,
+            "vp_img_embeds": pano_embeds,
+            "vp_masks": nav_mask,
+            "cand_positions": cand_pos,
+            "hist_positions": hist_pos,
+            "hist_embeds": self.hist_arrays(hist_vis),
+        }
+        if training:
+            labels = tok_batch.input_ids.astype(np.int64).copy()
+            labels[tok_batch.token_type_ids == 0] = self.args.ignoreid
+            gen_batch["labels"] = labels
+            coef = args.gen_loss_coef / b / args.gradient_accumulation_step
+            return self.runner.generation(gen_batch, coef=coef, train=True)
+        # eval: constrained / free decode
+        emb = self.runner.gen_embeds(pano_embeds, nav_mask)
+        inj_pos = np.concatenate([cand_pos, hist_pos], 1)
+        inj_emb = np.concatenate([emb[:, : cand_pos.shape[1]],
+                                  self.hist_arrays(hist_vis)], 1)
+        gen_ids = self.runner.generate(
+            tok_batch.input_ids, tok_batch.attention_mask, inj_pos, inj_emb,
+            max_new_tokens=50, do_sample=False, trie=trie)
+        from ..models.decoding import decode_to_text
+        sentences = decode_to_text(self.runner.tok, gen_ids)
+        for i in range(b):
+            traj[i]["generated_sentences"] = sentences[i]
+            traj[i]["answer"] = answers[i]
+        return 0.0
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+@AGENTS.register("r2r")
+class R2RAgent(MP3DAgent):
+    pass
+
+
+@AGENTS.register("r2r_aug")
+class R2RAugAgent(MP3DAgent):
+    pass
+
+
+@AGENTS.register("cvdn")
+class CVDNAgent(MP3DAgent):
+    pass
+
+
+@AGENTS.register("reverie")
+class REVERIEAgent(MP3DAgent):
+    pass
+
+
+@AGENTS.register("reverie_aug")
+class REVERIEAgent_Aug(MP3DAgent):
+    pass
+
+
+@AGENTS.register("soon")
+class SOONAgent(MP3DAgent):
+    pass
+
+
+@AGENTS.register("eqa")
+class EQAAgent(MP3DAgent):
+    pass

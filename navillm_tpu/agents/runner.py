@@ -1,0 +1,279 @@
+"""NavModelRunner: jitted device entry points for the rollout engine.
+
+Owns params + config + tokenizer and exposes the per-step device calls
+the host rollout makes (SURVEY.md §3.2): panorama encode, navigation
+step (loss+grads or inference), generation loss, object grounding,
+constrained generate. Gradients accumulate into a device-resident
+pytree (the TPU equivalent of the reference's per-step backward into
+.grad buffers, mp3d_agent.py:750-757); the training driver fetches and
+zeroes it at optimizer boundaries.
+
+All functions take numpy arrays with FIXED padded shapes (RolloutDims)
+so jit compiles once per (shape-bucket, mode).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import llama as L
+from ..models import nav_model as NM
+from ..models.decoding import generate as decode_generate
+from ..models.pano_encoder import forward_panorama
+from ..models.tokenization import NavTokenizer
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutDims:
+    """Static padded sizes for the rollout's device batches."""
+    max_gmap_nodes: int = 64    # [stop] + discovered nodes
+    max_views: int = 44         # candidates + non-cand views (<= 36 + dup cands)
+    max_cands: int = 16         # <cand> tokens per prompt
+    max_hist: int = 32          # <hist> tokens (max action len is 30)
+    max_objects: int = 72
+
+    @classmethod
+    def tiny(cls) -> "RolloutDims":
+        return cls(max_gmap_nodes=16, max_views=40, max_cands=8, max_hist=8,
+                   max_objects=8)
+
+
+class NavModelRunner:
+    def __init__(self, cfg: NM.NavModelConfig, params, tokenizer: NavTokenizer,
+                 dims: RolloutDims = RolloutDims(), feat_dropout: float = 0.4,
+                 ignore_id: int = -100, seed: int = 0):
+        self.cfg = cfg
+        self.params = params
+        self.tok = tokenizer
+        self.dims = dims
+        self.feat_dropout = feat_dropout
+        self.ignore_id = ignore_id
+        self.rng = jax.random.PRNGKey(seed)
+        self._special_mask = jnp.asarray(tokenizer.special_logit_mask())
+        self.grad_accum = None
+        self._build_fns()
+
+    # ------------------------------------------------------------------ #
+    def _next_rng(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    def zero_grads(self):
+        self.grad_accum = jax.tree.map(jnp.zeros_like, self.params)
+
+    def take_grads(self):
+        g = self.grad_accum
+        self.grad_accum = None
+        return g
+
+    def _build_fns(self):
+        cfg = self.cfg
+        ignore_id = self.ignore_id
+
+        @functools.partial(jax.jit, static_argnames=("deterministic",))
+        def pano_fn(params, rng, view_img_fts, view_lens, loc_fts, nav_types,
+                    deterministic):
+            if not deterministic:
+                rng, drop = jax.random.split(rng)
+                keep = jax.random.bernoulli(drop, 1.0 - self.feat_dropout,
+                                            view_img_fts.shape)
+                view_img_fts = jnp.where(keep,
+                                         view_img_fts / (1 - self.feat_dropout),
+                                         0)
+            return forward_panorama(params["pano"], cfg.pano, view_img_fts,
+                                    view_lens, loc_fts=loc_fts,
+                                    nav_types=nav_types, rng=rng,
+                                    deterministic=deterministic)
+
+        @functools.partial(jax.jit, static_argnames=("deterministic",))
+        def pano_obj_fn(params, rng, view_img_fts, view_lens, loc_fts,
+                        nav_types, obj_img_fts, obj_lens, obj_loc_fts,
+                        deterministic):
+            if not deterministic:
+                rng, d1, d2 = jax.random.split(rng, 3)
+                keep = jax.random.bernoulli(d1, 1.0 - self.feat_dropout,
+                                            view_img_fts.shape)
+                view_img_fts = jnp.where(keep,
+                                         view_img_fts / (1 - self.feat_dropout),
+                                         0)
+                keep_o = jax.random.bernoulli(d2, 1.0 - self.feat_dropout,
+                                              obj_img_fts.shape)
+                obj_img_fts = jnp.where(keep_o,
+                                        obj_img_fts / (1 - self.feat_dropout),
+                                        0)
+            return forward_panorama(params["pano"], cfg.pano, view_img_fts,
+                                    view_lens, loc_fts=loc_fts,
+                                    nav_types=nav_types,
+                                    obj_img_fts=obj_img_fts,
+                                    obj_lens=obj_lens,
+                                    obj_loc_fts=obj_loc_fts, rng=rng,
+                                    deterministic=deterministic)
+
+        @jax.jit
+        def nav_infer_fn(params, batch):
+            out = NM.forward_navigation(params, cfg, batch)
+            return out["fuse_logits"], out["fuse_embeds"]
+
+        @jax.jit
+        def nav_train_fn(params, accum, batch, targets, coef):
+            def loss_fn(p):
+                out = NM.forward_navigation(p, cfg, batch)
+                loss = NM.navigation_loss(out["fuse_logits"], targets,
+                                          ignore_id) * coef
+                return loss, (out["fuse_logits"], out["fuse_embeds"])
+            (loss, (logits, fuse)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            accum = jax.tree.map(jnp.add, accum, grads)
+            return accum, loss, logits, fuse
+
+        @jax.jit
+        def gen_loss_fn(params, batch):
+            return NM.forward_generation_loss(params, cfg, batch)["loss"]
+
+        @jax.jit
+        def gen_train_fn(params, accum, batch, coef):
+            def loss_fn(p):
+                return NM.forward_generation_loss(p, cfg, batch)["loss"] * coef
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            accum = jax.tree.map(jnp.add, accum, grads)
+            return accum, loss
+
+        @jax.jit
+        def gen_embeds_fn(params, vp_img_embeds, vp_masks):
+            return NM.prep_generation_embeds(params, cfg, vp_img_embeds,
+                                             vp_masks)
+
+        @jax.jit
+        def og_infer_fn(params, batch):
+            return NM.forward_object_grounding(params, cfg, batch)["obj_logits"]
+
+        @jax.jit
+        def og_train_fn(params, accum, batch, targets, coef):
+            def loss_fn(p):
+                out = NM.forward_object_grounding(p, cfg, batch)
+                loss = NM.navigation_loss(out["obj_logits"], targets,
+                                          ignore_id) * coef
+                return loss, out["obj_logits"]
+            (loss, logits), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            accum = jax.tree.map(jnp.add, accum, grads)
+            return accum, loss, logits
+
+        self._gen_embeds_fn = gen_embeds_fn
+        self._pano_fn = pano_fn
+        self._pano_obj_fn = pano_obj_fn
+        self._nav_infer_fn = nav_infer_fn
+        self._nav_train_fn = nav_train_fn
+        self._gen_loss_fn = gen_loss_fn
+        self._gen_train_fn = gen_train_fn
+        self._og_infer_fn = og_infer_fn
+        self._og_train_fn = og_train_fn
+
+    # ------------------------------------------------------------------ #
+    def panorama(self, pano_inputs: Dict[str, np.ndarray],
+                 deterministic: bool) -> Dict[str, np.ndarray]:
+        args = (self.params, self._next_rng(),
+                jnp.asarray(pano_inputs["view_img_fts"]),
+                jnp.asarray(pano_inputs["view_lens"]),
+                jnp.asarray(pano_inputs["loc_fts"]),
+                jnp.asarray(pano_inputs["nav_types"]))
+        if "obj_img_fts" in pano_inputs:
+            out = self._pano_obj_fn(*args,
+                                    jnp.asarray(pano_inputs["obj_img_fts"]),
+                                    jnp.asarray(pano_inputs["obj_lens"]),
+                                    jnp.asarray(pano_inputs["obj_loc_fts"]),
+                                    deterministic=deterministic)
+        else:
+            out = self._pano_fn(*args, deterministic=deterministic)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def navigation(self, batch: Dict[str, np.ndarray],
+                   targets: Optional[np.ndarray] = None,
+                   coef: float = 1.0, train: bool = False
+                   ) -> Tuple[np.ndarray, np.ndarray, float]:
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        if train:
+            assert self.grad_accum is not None, "call zero_grads() first"
+            self.grad_accum, loss, logits, fuse = self._nav_train_fn(
+                self.params, self.grad_accum, dev, jnp.asarray(targets),
+                jnp.float32(coef))
+            return np.asarray(logits), np.asarray(fuse), float(loss)
+        logits, fuse = self._nav_infer_fn(self.params, dev)
+        return np.asarray(logits), np.asarray(fuse), 0.0
+
+    def generation(self, batch: Dict[str, np.ndarray], coef: float = 1.0,
+                   train: bool = False) -> float:
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        dev["special_token_mask"] = self._special_mask
+        if train:
+            assert self.grad_accum is not None
+            self.grad_accum, loss = self._gen_train_fn(
+                self.params, self.grad_accum, dev, jnp.float32(coef))
+            return float(loss)
+        return float(self._gen_loss_fn(self.params, dev))
+
+    def object_grounding(self, batch: Dict[str, np.ndarray],
+                         targets: Optional[np.ndarray] = None,
+                         coef: float = 1.0, train: bool = False
+                         ) -> Tuple[np.ndarray, float]:
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        if train:
+            assert self.grad_accum is not None
+            self.grad_accum, loss, logits = self._og_train_fn(
+                self.params, self.grad_accum, dev, jnp.asarray(targets),
+                jnp.float32(coef))
+            return np.asarray(logits), float(loss)
+        return np.asarray(self._og_infer_fn(self.params, dev)), 0.0
+
+    def gen_embeds(self, vp_img_embeds, vp_masks) -> np.ndarray:
+        """Device zero-pos/type-0 fusion for generation paths."""
+        return np.asarray(self._gen_embeds_fn(self.params,
+                                              jnp.asarray(vp_img_embeds),
+                                              jnp.asarray(vp_masks)))
+
+    def generate(self, input_ids, attention_mask, inject_positions,
+                 inject_embeds, max_new_tokens: int, do_sample: bool = False,
+                 temperature: float = 1.0, trie=None) -> np.ndarray:
+        out = decode_generate(
+            self.params["llm"], self.cfg.llm, jnp.asarray(input_ids),
+            jnp.asarray(attention_mask),
+            inject_positions=jnp.asarray(inject_positions),
+            inject_embeds=jnp.asarray(inject_embeds),
+            special_token_mask=self._special_mask,
+            eos_id=self.tok.eos_id, pad_id=self.tok.pad_id,
+            max_new_tokens=max_new_tokens, do_sample=do_sample,
+            temperature=temperature, rng=self._next_rng(), trie=trie)
+        return np.asarray(out)
+
+    # ---------------- tokenization helpers (host) ---------------------- #
+    def tokenize_with_positions(self, texts, max_cands: Optional[int] = None,
+                                max_hist: Optional[int] = None):
+        """Tokenize prompts (or [prompt, answer] pairs) and extract
+        end-aligned positions of <cand>/<hist>/<cls_1> tokens.
+
+        Returns (TokenBatch, cand_positions [B,C], hist_positions [B,Hh],
+        cls_pos [B]). Positions are -1 padded on the LEFT of the slot
+        arrays' tail (end-aligned: if left truncation dropped early
+        tokens, the surviving tokens map to the LAST embedding slots).
+        """
+        C = max_cands if max_cands is not None else self.dims.max_cands
+        Hh = max_hist if max_hist is not None else self.dims.max_hist
+        batch = self.tok(texts)
+        ids = batch.input_ids
+        b, _ = ids.shape
+        cand_pos = np.full((b, C), -1, np.int32)
+        hist_pos = np.full((b, Hh), -1, np.int32)
+        cls_pos = np.zeros((b,), np.int32)
+        for i in range(b):
+            cpos = np.where(ids[i] == self.tok.cand_id)[0]
+            hpos = np.where(ids[i] == self.tok.hist_id)[0]
+            cand_pos[i, : min(len(cpos), C)] = cpos[-C:]
+            hist_pos[i, : min(len(hpos), Hh)] = hpos[-Hh:]
+            cls = np.where(ids[i] == self.tok.cls_ids[0])[0]
+            cls_pos[i] = cls[-1] if len(cls) else ids.shape[1] - 1
+        return batch, cand_pos, hist_pos, cls_pos

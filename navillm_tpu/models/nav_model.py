@@ -195,13 +195,24 @@ def forward_generation_loss(params, cfg: NavModelConfig, batch):
     (nav_model.py:296-318, 376-387).
 
     batch: input_ids [B,L], attention_mask [B,L], labels [B,L] (-100
-    ignored), cand_positions [B,C], cand_embeds [B,C,H],
-    hist_positions [B,Hh], hist_embeds [B,Hh,H] (zeros-size-0 allowed),
-    special_token_mask [vocab] bool.
+    ignored), cand_positions [B,C], hist_positions [B,Hh],
+    hist_embeds [B,Hh,H], special_token_mask [vocab] bool, and either
+      cand_embeds [B,C,H]  (pre-fused), or
+      vp_img_embeds [B,V,H] + vp_masks [B,V]  (raw panorama embeds —
+      zero-pos/type-0 fusion happens here on device; valid embeds must
+      be a contiguous prefix, which panorama ordering guarantees:
+      candidates first, then non-cand views).
     """
+    c = batch["cand_positions"].shape[1]
+    if "cand_embeds" in batch:
+        cand_embeds = batch["cand_embeds"]
+    else:
+        emb = prep_generation_embeds(params, cfg, batch["vp_img_embeds"],
+                                     batch["vp_masks"])
+        cand_embeds = emb[:, :c]
     positions = jnp.concatenate([batch["cand_positions"],
                                  batch["hist_positions"]], axis=1)
-    embeds = jnp.concatenate([batch["cand_embeds"], batch["hist_embeds"]], axis=1)
+    embeds = jnp.concatenate([cand_embeds, batch["hist_embeds"]], axis=1)
     inputs_embeds = _inject(params["llm"], batch["input_ids"], positions, embeds)
     hidden, _ = L.forward_hidden(params["llm"], cfg.llm, inputs_embeds,
                                  batch["attention_mask"])
