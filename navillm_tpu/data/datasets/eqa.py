@@ -19,8 +19,10 @@ class EQADataset(MP3DDatasetBase):
     def __init__(self, args, config, training=False, logger=None,
                  source=None, world=None):
         super().__init__(args, config, training, logger, source, world)
-        filename = get_anno_file_path(args.data_dir, config[source].DIR,
-                                      config[source].ANSWER_VOCAB)
+        from .mp3d_base import dataset_section
+        section = dataset_section(config, source)
+        filename = get_anno_file_path(args.data_dir, section.DIR,
+                                      section.ANSWER_VOCAB)
         with open(filename) as f:
             self.answer_vocab = json.load(f)
 

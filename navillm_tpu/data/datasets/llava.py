@@ -33,7 +33,8 @@ class LLaVADataset:
         self.obj_feat_db = obj_feat_db
 
     def _load_data(self, config, data_dir):
-        section = config[self.source]
+        from .mp3d_base import dataset_section
+        section = dataset_section(config, self.source)
         path = os.path.join(str(data_dir), section.DIR,
                             section.SPLIT[self.split])
         with open(path) as f:

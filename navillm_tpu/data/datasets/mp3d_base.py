@@ -27,6 +27,14 @@ from ...sim.geometry import (NUM_VIEWS, all_point_angle_features,
                              angle_feature)
 
 
+def dataset_section(config, src):
+    """Dataset config section: top-level or nested under `Dataset`
+    (the reference nests them, configs/multi.yaml:20)."""
+    if src in config:
+        return config[src]
+    return config["Dataset"][src]
+
+
 def get_anno_file_path(data_dir, dataset_path, filename) -> Path:
     if str(dataset_path).startswith("/"):
         return Path(dataset_path) / filename
@@ -81,9 +89,7 @@ class MP3DDatasetBase:
     # ---- annotation loading (per-source dispatch, mp3d_dataset.py:76-120) --
     def _load_annotations(self, config, data_dir):
         src = self.source
-        section = config[src] if src in config else None
-        if section is None:
-            raise KeyError(f"config has no section for source {src!r}")
+        section = dataset_section(config, src)
         anno_file = get_anno_file_path(data_dir, section.DIR,
                                        section.SPLIT[self.split])
         self.alldata, self.gt_trajs = self.load_data(anno_file=anno_file,

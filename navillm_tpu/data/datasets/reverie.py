@@ -25,11 +25,14 @@ class REVERIEDataset(MP3DDatasetBase):
         self.multi_endpoints = args.multi_endpoints
 
     def _load_annotations(self, config, data_dir):
-        from .mp3d_base import get_anno_file_path
+        from .mp3d_base import dataset_section, get_anno_file_path
         src = self.source
-        section = config[src]
+        section = dataset_section(config, src)
         # bbox file lives under the base REVERIE section for aug too
-        base = config["REVERIE"] if "REVERIE" in config else section
+        try:
+            base = dataset_section(config, "REVERIE")
+        except KeyError:
+            base = section
         bbox_file = get_anno_file_path(data_dir, base.DIR, base.bbox_file)
         self.load_obj2vps(bbox_file)
         anno_file = get_anno_file_path(data_dir, section.DIR,

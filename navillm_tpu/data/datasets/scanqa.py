@@ -18,7 +18,8 @@ class ScanQADataset(LLaVADataset):
     BLEU/ROUGE/CIDEr/METEOR/EM eval (reference scanqa.py)."""
 
     def _load_data(self, config, data_dir):
-        section = config[self.source]
+        from .mp3d_base import dataset_section
+        section = dataset_section(config, self.source)
         if str(section.DIR).startswith("/"):
             path = os.path.join(section.DIR, section.SPLIT[self.split])
         else:

@@ -149,11 +149,10 @@ def create_dataloaders(args, config, training: bool, world=None,
                 elif source == "SOON":
                     obj_db = obj_feat_dbs.get("soon")
             ds.init_feat_db(feat_dbs[feat_key[source]], obj_db)
-        task = name_of[source]
         bs = args.batch_size if training else args.val_batch_size
-        loaders[task] = (Dataloader(ds, bs, shuffle=training,
-                                    rank=args.rank,
-                                    world_size=args.world_size,
-                                    seed=args.seed), float(ratio))
-        datasets[task] = ds
+        loaders[source] = (Dataloader(ds, bs, shuffle=training,
+                                      rank=args.rank,
+                                      world_size=args.world_size,
+                                      seed=args.seed), float(ratio))
+        datasets[source] = ds
     return loaders, datasets

@@ -1,0 +1,111 @@
+"""HF Llama checkpoint -> JAX param tree conversion.
+
+Loads a HF `LlamaForCausalLM` state dict (torch, CPU) and restacks it
+into this framework's pytree layout (models/llama.py:init_params):
+per-layer weights stacked on a leading layer axis, linear weights
+transposed to [in, out]. Handles the reference's vocabulary extension:
+the embedding table is resized to the tokenizer's (MXU-aligned) vocab,
+new rows initialized to the mean of existing rows (HF
+resize_token_embeddings semantics, used by modified_lm.py:75).
+
+Reference flow being replaced: ModifiedLlamaForCausalLM.from_pretrained
++ init_tokenizer (models/modified_lm.py:56-75, nav_model.py:40-49).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .llama import LlamaConfig
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor -> numpy (float32 staging)."""
+    return np.asarray(x.detach().to("cpu").float().numpy())
+
+
+def config_from_hf(hf_config, vocab_size: Optional[int] = None,
+                   **overrides) -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=vocab_size or hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        intermediate_size=hf_config.intermediate_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                             hf_config.num_attention_heads),
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        rms_norm_eps=hf_config.rms_norm_eps,
+        max_seq_len=getattr(hf_config, "max_position_embeddings", 2048),
+        **overrides,
+    )
+
+
+def _resize_rows(table: np.ndarray, new_rows: int) -> np.ndarray:
+    """Grow a [V, H] table: new rows = mean of existing (HF semantics)."""
+    v, h = table.shape
+    if new_rows <= v:
+        return table[:new_rows]
+    mean = table.mean(axis=0, keepdims=True)
+    return np.concatenate([table, np.repeat(mean, new_rows - v, axis=0)], 0)
+
+
+def convert_hf_llama(hf_model, cfg: LlamaConfig) -> Dict[str, Any]:
+    """HF LlamaForCausalLM (torch) -> params pytree matching `cfg`.
+
+    cfg.vocab_size may exceed the HF vocab (special tokens + MXU
+    alignment); extra embedding/lm_head rows get mean-init.
+    """
+    import jax.numpy as jnp
+
+    sd = hf_model.state_dict()
+    L = cfg.num_layers
+    dt = cfg.dtype
+
+    def stack(fmt, transpose=True):
+        ws = []
+        for l in range(L):
+            w = _t(sd[fmt.format(l)])
+            ws.append(w.T if transpose else w)
+        return jnp.asarray(np.stack(ws), dt)
+
+    embed = _resize_rows(_t(sd["model.embed_tokens.weight"]), cfg.vocab_size)
+    if "lm_head.weight" in sd:
+        lm_head = _resize_rows(_t(sd["lm_head.weight"]), cfg.vocab_size).T
+    else:   # tied embeddings
+        lm_head = embed.T
+
+    return {
+        "embed": jnp.asarray(embed, dt),
+        "layers": {
+            "attn_norm": stack("model.layers.{}.input_layernorm.weight",
+                               transpose=False),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight"),
+            "mlp_norm": stack(
+                "model.layers.{}.post_attention_layernorm.weight",
+                transpose=False),
+            "w_gate": stack("model.layers.{}.mlp.gate_proj.weight"),
+            "w_up": stack("model.layers.{}.mlp.up_proj.weight"),
+            "w_down": stack("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(_t(sd["model.norm.weight"]), dt),
+        "lm_head": jnp.asarray(lm_head, dt),
+    }
+
+
+def load_vicuna(pretrained_model_name_or_path: str, vocab_size: int,
+                dtype=None) -> tuple:
+    """Load a local Vicuna/Llama checkpoint -> (LlamaConfig, params)."""
+    import jax.numpy as jnp
+    import torch
+    from transformers import LlamaForCausalLM
+
+    hf = LlamaForCausalLM.from_pretrained(pretrained_model_name_or_path,
+                                          torch_dtype=torch.float32)
+    cfg = config_from_hf(hf.config, vocab_size=vocab_size,
+                         dtype=dtype or jnp.bfloat16)
+    return cfg, convert_hf_llama(hf, cfg)

@@ -1,0 +1,96 @@
+"""Checkpointing: save/restore param + optimizer pytrees.
+
+Mirrors the reference's semantics (tools/optims.py:7-32,65-78):
+  - checkpoints hold {params [, opt_state, epoch]};
+  - restore is shape-tolerant and non-strict: entries whose shape
+    mismatches the live tree are skipped with a log line;
+  - auto-resume probes output_dir/latest (utils/config.py:read_args) —
+    and unlike the reference we save under the same name we probe
+    (the reference's latest.pt vs latest_states.pt mismatch,
+    SURVEY.md §5, is deliberately fixed).
+
+Format: one .npz of flattened path->array leaves + a small JSON header.
+Flat npz keeps restore trivially shape-tolerant and dependency-free;
+orbax's async/sharded writer can be slotted behind the same API later.
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+SEP = "/"
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
+                       for k in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_checkpoint(path: str | Path, params, opt_state=None,
+                    epoch: Optional[int] = None):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {"params" + SEP + k: v for k, v in _flatten(params).items()}
+    header: Dict[str, Any] = {"epoch": epoch}
+    if opt_state is not None:
+        arrays.update({"opt" + SEP + k: v
+                       for k, v in _flatten(opt_state).items()})
+        header["has_opt"] = True
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path.with_suffix(".npz"))
+    with open(path.with_suffix(".json"), "w") as f:
+        json.dump(header, f)
+
+
+def _restore_into(tree, flat: Dict[str, np.ndarray], prefix: str, logger=None):
+    """Merge flat arrays into a live tree, skipping shape mismatches."""
+    skipped = []
+
+    def merge(path, leaf):
+        key = prefix + SEP + SEP.join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+        if key in flat and flat[key].shape == leaf.shape:
+            return jax.numpy.asarray(flat[key], leaf.dtype)
+        if key in flat:
+            skipped.append((key, flat[key].shape, leaf.shape))
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(merge, tree)
+    if logger is not None:
+        for key, got, want in skipped:
+            logger.info("Ignore weight %s: %s (model wants %s)"
+                        % (key, got, want))
+    return out
+
+
+def load_checkpoint(path: str | Path, params, opt_state=None, logger=None
+                    ) -> Tuple[Any, Any, int]:
+    """Returns (params, opt_state, resume_from_epoch)."""
+    path = Path(path)
+    npz = path.with_suffix(".npz")
+    data = np.load(npz, allow_pickle=False)
+    flat = {k: data[k] for k in data.files}
+    params = _restore_into(params, flat, "params", logger)
+    header_path = path.with_suffix(".json")
+    epoch = None
+    if header_path.exists():
+        with open(header_path) as f:
+            epoch = json.load(f).get("epoch")
+    if opt_state is not None and any(k.startswith("opt" + SEP) for k in flat):
+        opt_state = _restore_into(opt_state, flat, "opt", logger)
+    resume = (epoch + 1) if epoch is not None else 0
+    return params, opt_state, resume
+
+
+def checkpoint_exists(path: str | Path) -> bool:
+    return Path(path).with_suffix(".npz").exists()

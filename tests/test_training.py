@@ -1,0 +1,102 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navillm_tpu.models import nav_model as NM
+from navillm_tpu.models.tokenization import NavTokenizer
+from navillm_tpu.agents.runner import NavModelRunner, RolloutDims
+from navillm_tpu.data.feature_db import SyntheticImageFeaturesDB
+from navillm_tpu.sim import WorldModel
+from navillm_tpu.training.checkpoints import (checkpoint_exists,
+                                              load_checkpoint,
+                                              save_checkpoint)
+from navillm_tpu.training.train_loop import (calc_overall_score, run_training)
+from navillm_tpu.utils.config import ConfigDict
+
+
+def test_checkpoint_roundtrip_and_shape_tolerance(tmp_path):
+    params = {"a": jnp.arange(6.0).reshape(2, 3),
+              "nest": {"b": jnp.ones((4,)), "c": jnp.zeros((2, 2))}}
+    opt_state = {"mu": jnp.full((2, 3), 0.5)}
+    save_checkpoint(tmp_path / "ck", params, opt_state, epoch=3)
+    assert checkpoint_exists(tmp_path / "ck")
+
+    # same shapes -> full restore + epoch
+    live = jax.tree.map(jnp.zeros_like, params)
+    live_opt = jax.tree.map(jnp.zeros_like, opt_state)
+    p2, o2, resume = load_checkpoint(tmp_path / "ck", live, live_opt)
+    assert resume == 4
+    np.testing.assert_allclose(np.asarray(p2["a"]),
+                               np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(np.asarray(o2["mu"]), 0.5)
+
+    # mismatched shape -> skipped, rest restored
+    live = {"a": jnp.zeros((5, 3)), "nest": {"b": jnp.zeros((4,)),
+                                             "c": jnp.zeros((2, 2))}}
+    p3, _, _ = load_checkpoint(tmp_path / "ck", live)
+    assert p3["a"].shape == (5, 3)
+    assert float(np.asarray(p3["a"]).sum()) == 0.0
+    np.testing.assert_allclose(np.asarray(p3["nest"]["b"]), 1.0)
+
+
+def test_calc_overall_score():
+    cfg = ConfigDict({"Multi": {"SOURCE": ["R2R", "REVERIE", "SOON", "CVDN"]}})
+    results = {"R2R": {"spl": 60.0}, "REVERIE": {"spl": 36.63},
+               "SOON": {"spl": 26.58}, "CVDN": {"dist_to_end_reduction": 5.0}}
+    assert calc_overall_score(results, cfg) == pytest.approx(3.0)
+
+
+def _full_cfg():
+    return ConfigDict({
+        "Feature": {"image_feat_size": 32, "angle_feat_size": 4,
+                    "obj_feat_size": 16, "max_objects": 3},
+        "Dataset": {
+            "R2R": {"DIR": "R2R", "SPLIT": {
+                "train": "annotations/R2R_train_enc.json",
+                "val_unseen": "annotations/R2R_val_unseen_enc.json"}},
+        },
+        "Multi": {"SOURCE": ["R2R"], "Ratio": [1], "LOSS_COEF": {}},
+        "Model": {"num_pano_layers": 2, "enc_full_graph": True,
+                  "expert_policy": "spl"},
+        "Optim": {
+            "train_max_action_len": {"R2R": 4},
+            "val_max_action_len": {"R2R": 5},
+        },
+    })
+
+
+def test_run_training_end_to_end(train_args, data_dir, tmp_path):
+    """One tiny epoch of real multi-task training + eval + checkpointing."""
+    args = train_args
+    args.output_dir = str(tmp_path)
+    args.num_epochs = 1
+    args.num_steps_per_epoch = 2
+    args.gradient_accumulation_step = 2
+    args.batch_size = 1
+    args.val_batch_size = 2
+    args.max_saved_checkpoints = 1
+    args.save_latest_states = True
+    args.image_feat_size = 32
+    args.obj_feat_size = 16
+
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    nav_cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), nav_cfg)
+    runner = NavModelRunner(nav_cfg, params, tok, dims=RolloutDims.tiny())
+
+    cfg = _full_cfg()
+    world = WorldModel(str(data_dir / "connectivity"))
+    feat_dbs = {"mp3d": SyntheticImageFeaturesDB(32)}
+
+    before = np.asarray(jax.tree.leaves(runner.params)[0]).copy()
+    results = run_training(args, cfg, logger=None, world=world,
+                           feat_dbs=feat_dbs, obj_feat_dbs={}, runner=runner)
+    after = np.asarray(jax.tree.leaves(runner.params)[0])
+    # the optimizer actually stepped
+    assert not np.allclose(before, after)
+    assert results is not None and "R2R" in results
+    assert "sr" in results["R2R"]
+    # best-epoch checkpoint + latest states written
+    assert checkpoint_exists(tmp_path / "epoch_0")
+    assert checkpoint_exists(tmp_path / "latest")
