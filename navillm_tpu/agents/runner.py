@@ -46,9 +46,13 @@ class RolloutDims:
 class NavModelRunner:
     def __init__(self, cfg: NM.NavModelConfig, params, tokenizer: NavTokenizer,
                  dims: RolloutDims = RolloutDims(), feat_dropout: float = 0.4,
-                 ignore_id: int = -100, seed: int = 0):
+                 ignore_id: int = -100, seed: int = 0, mesh_plan=None):
+        """mesh_plan: optional parallel.mesh.MeshPlan — params get their
+        (data, model) shardings (LLM tensor-parallel over 'model', small
+        modules replicated) and batch arrays shard their leading episode
+        axis over 'data'; XLA then inserts the grad psum / TP collectives
+        (the DDP/NCCL replacement, SURVEY.md §2.2)."""
         self.cfg = cfg
-        self.params = params
         self.tok = tokenizer
         self.dims = dims
         self.feat_dropout = feat_dropout
@@ -56,7 +60,19 @@ class NavModelRunner:
         self.rng = jax.random.PRNGKey(seed)
         self._special_mask = jnp.asarray(tokenizer.special_logit_mask())
         self.grad_accum = None
+        self.plan = mesh_plan
+        if mesh_plan is not None:
+            from ..parallel.mesh import nav_param_specs, shard_params
+            params = shard_params(params, nav_param_specs(cfg), mesh_plan)
+        self.params = params
         self._build_fns()
+
+    def _put_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """Host arrays -> device, batch axis sharded over 'data'."""
+        if self.plan is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        sh = self.plan.data_sharding()
+        return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
 
     # ------------------------------------------------------------------ #
     def _next_rng(self):
@@ -196,19 +212,19 @@ class NavModelRunner:
                    targets: Optional[np.ndarray] = None,
                    coef: float = 1.0, train: bool = False
                    ) -> Tuple[np.ndarray, np.ndarray, float]:
-        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        dev = self._put_batch(batch)
         if train:
             assert self.grad_accum is not None, "call zero_grads() first"
+            tgt = self._put_batch({"t": targets})["t"]
             self.grad_accum, loss, logits, fuse = self._nav_train_fn(
-                self.params, self.grad_accum, dev, jnp.asarray(targets),
-                jnp.float32(coef))
+                self.params, self.grad_accum, dev, tgt, jnp.float32(coef))
             return np.asarray(logits), np.asarray(fuse), float(loss)
         logits, fuse = self._nav_infer_fn(self.params, dev)
         return np.asarray(logits), np.asarray(fuse), 0.0
 
     def generation(self, batch: Dict[str, np.ndarray], coef: float = 1.0,
                    train: bool = False) -> float:
-        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        dev = self._put_batch(batch)
         dev["special_token_mask"] = self._special_mask
         if train:
             assert self.grad_accum is not None
@@ -221,12 +237,12 @@ class NavModelRunner:
                          targets: Optional[np.ndarray] = None,
                          coef: float = 1.0, train: bool = False
                          ) -> Tuple[np.ndarray, float]:
-        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        dev = self._put_batch(batch)
         if train:
             assert self.grad_accum is not None
+            tgt = self._put_batch({"t": targets})["t"]
             self.grad_accum, loss, logits = self._og_train_fn(
-                self.params, self.grad_accum, dev, jnp.asarray(targets),
-                jnp.float32(coef))
+                self.params, self.grad_accum, dev, tgt, jnp.float32(coef))
             return np.asarray(logits), float(loss)
         return np.asarray(self._og_infer_fn(self.params, dev)), 0.0
 

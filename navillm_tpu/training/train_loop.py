@@ -58,7 +58,20 @@ class Metrics:
         return self.total / self.num if self.num else 0.0
 
 
-def build_runner(args, cfg, logger=None) -> NavModelRunner:
+def build_mesh_plan(args, logger=None):
+    """(data, model) mesh over all visible devices; None single-device."""
+    n = len(jax.devices())
+    if n <= 1 and args.tp_size <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+    plan = make_mesh(dp_size=args.dp_size, tp_size=args.tp_size)
+    if logger is not None:
+        logger.info("mesh: dp=%d tp=%d over %d devices"
+                    % (plan.dp_size, plan.tp_size, n))
+    return plan
+
+
+def build_runner(args, cfg, logger=None, mesh_plan=None) -> NavModelRunner:
     """Tokenizer + LLM (+converted weights) + pano/heads params."""
     import jax.numpy as jnp
 
@@ -106,7 +119,8 @@ def build_runner(args, cfg, logger=None) -> NavModelRunner:
         logger.info("model initialized with %.2f M parameters" % (n / 1e6))
     return NavModelRunner(nav_cfg, params, tok,
                           feat_dropout=args.feat_dropout,
-                          ignore_id=args.ignoreid, seed=args.seed)
+                          ignore_id=args.ignoreid, seed=args.seed,
+                          mesh_plan=mesh_plan)
 
 
 def build_world_and_data(args, cfg, training: bool, stage: str, world=None,
@@ -235,7 +249,8 @@ def run_training(args, cfg, logger=None, world=None, feat_dbs=None,
         feat_dbs=feat_dbs, obj_feat_dbs=obj_feat_dbs, logger=logger,
         test_datasets=args.test_datasets)
 
-    runner = runner or build_runner(args, cfg, logger)
+    runner = runner or build_runner(args, cfg, logger,
+                                    mesh_plan=build_mesh_plan(args, logger))
     train_agents = build_agents(args, train_loaders.keys(), world, runner)
     val_agents = build_agents(args, val_loaders.keys(), world, runner)
 

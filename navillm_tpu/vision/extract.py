@@ -1,0 +1,167 @@
+"""Offline view-feature extraction pipeline (TPU-native).
+
+Replaces the reference's Ray + torch EVA-CLIP extraction tools
+(scripts/data_tools/extract_features_{mp3d,scanqa,coco}.py): a
+thread-pool decodes/preprocesses images on host while the jitted ViT
+(vision/vit.py) consumes fixed-size batches on the chip; a single
+writer streams gzip'd [36, D] (or [D]) datasets into HDF5 under the
+same `scan_viewpoint` keys the feature DBs read (data/feature_db.py).
+
+Image sources:
+  - DirectoryImageSource: pre-rendered views on disk,
+    <root>/<scan>/<viewpoint>_<ix>.(jpg|png), ix in [0, 36);
+  - MatterSimImageSource: renders through the upstream C++ simulator
+    when the `MatterSim` module is importable (the raw MP3D imagery is
+    only reachable that way, reference extract_features_mp3d.py:20-34).
+"""
+from __future__ import annotations
+
+import math
+import os
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .vit import ViTConfig, vit_forward_features
+
+# CLIP normalization (EVA uses the same openai stats)
+MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def preprocess_image(img, image_size: int) -> np.ndarray:
+    """PIL image -> normalized [S, S, 3] float32 (resize shorter side +
+    center crop, CLIP-style)."""
+    from PIL import Image
+    w, h = img.size
+    scale = image_size / min(w, h)
+    img = img.resize((max(image_size, int(round(w * scale))),
+                      max(image_size, int(round(h * scale)))),
+                     Image.BICUBIC)
+    w, h = img.size
+    left = (w - image_size) // 2
+    top = (h - image_size) // 2
+    img = img.crop((left, top, left + image_size, top + image_size))
+    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    return (arr - MEAN) / STD
+
+
+class DirectoryImageSource:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+
+    def views(self, scan: str, viewpoint: str, num_views: int = 36
+              ) -> List["PIL.Image.Image"]:
+        from PIL import Image
+        out = []
+        for ix in range(num_views):
+            for ext in (".jpg", ".png"):
+                p = self.root / scan / f"{viewpoint}_{ix}{ext}"
+                if p.exists():
+                    out.append(Image.open(p))
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"missing rendered view {scan}/{viewpoint}_{ix}")
+        return out
+
+
+class MatterSimImageSource:
+    """Renders 36 views through MatterSim (reference build_simulator,
+    extract_features_mp3d.py:20-34 + the 36-view sweep at 55-67)."""
+
+    def __init__(self, connectivity_dir: str, scan_dir: str,
+                 width: int = 640, height: int = 480, vfov: float = 60):
+        import MatterSim
+        sim = MatterSim.Simulator()
+        sim.setNavGraphPath(connectivity_dir)
+        sim.setDatasetPath(scan_dir)
+        sim.setCameraResolution(width, height)
+        sim.setCameraVFOV(math.radians(vfov))
+        sim.setDiscretizedViewingAngles(True)
+        sim.setDepthEnabled(False)
+        sim.setPreloadingEnabled(False)
+        sim.setBatchSize(1)
+        sim.initialize()
+        self.sim = sim
+
+    def views(self, scan: str, viewpoint: str, num_views: int = 36):
+        from PIL import Image
+        images = []
+        for ix in range(num_views):
+            if ix == 0:
+                self.sim.newEpisode([scan], [viewpoint], [0],
+                                    [math.radians(-30)])
+            elif ix % 12 == 0:
+                self.sim.makeAction([0], [1.0], [1.0])
+            else:
+                self.sim.makeAction([0], [1.0], [0])
+            state = self.sim.getState()[0]
+            assert state.viewIndex == ix
+            bgr = np.array(state.rgb, copy=True)
+            images.append(Image.fromarray(bgr[:, :, ::-1]))
+        return images
+
+
+class FeatureExtractor:
+    """Batched jitted ViT over an image stream -> HDF5 writer."""
+
+    def __init__(self, params, cfg: ViTConfig, batch_size: int = 36,
+                 decode_workers: int = 4):
+        import jax
+
+        self.cfg = cfg
+        self.params = params
+        self.batch_size = batch_size
+        self._fwd = jax.jit(
+            lambda p, x: vit_forward_features(p, cfg, x))
+        self._pool = ThreadPoolExecutor(decode_workers)
+
+    def encode_images(self, images) -> np.ndarray:
+        """list of PIL images -> [N, width] features."""
+        import jax.numpy as jnp
+        arrs = list(self._pool.map(
+            lambda im: preprocess_image(im, self.cfg.image_size), images))
+        feats = []
+        for k in range(0, len(arrs), self.batch_size):
+            chunk = np.stack(arrs[k: k + self.batch_size])
+            n = chunk.shape[0]
+            if n < self.batch_size:     # pad to the jitted batch shape
+                chunk = np.concatenate(
+                    [chunk, np.zeros((self.batch_size - n,) + chunk.shape[1:],
+                                     np.float32)])
+            out = np.asarray(self._fwd(self.params, jnp.asarray(chunk)))
+            feats.append(out[:n])
+        return np.concatenate(feats, 0)
+
+    def extract_to_hdf5(self, out_file: str | Path, source,
+                        scanvp_list: Sequence[Tuple[str, str]],
+                        num_views: int = 36, progress: bool = True):
+        import h5py
+        with h5py.File(str(out_file), "w") as f:
+            for i, (scan, vp) in enumerate(scanvp_list):
+                images = source.views(scan, vp, num_views)
+                fts = self.encode_images(images)
+                key = f"{scan}_{vp}"
+                f.create_dataset(key, data=fts.astype(np.float32),
+                                 compression="gzip")
+                if progress and i % 50 == 0:
+                    print(f"[{i}/{len(scanvp_list)}] {key}", flush=True)
+
+
+def list_scan_viewpoints(connectivity_dir: str | Path,
+                         scans: Optional[Iterable[str]] = None
+                         ) -> List[Tuple[str, str]]:
+    """All (scan, viewpoint) pairs from connectivity JSONs."""
+    from ..sim.graph import load_connectivity
+    conn = Path(connectivity_dir)
+    if scans is None:
+        scans = sorted(p.name.replace("_connectivity.json", "")
+                       for p in conn.glob("*_connectivity.json"))
+    out = []
+    for scan in scans:
+        ids, _, _, _ = load_connectivity(conn, scan)
+        out.extend((scan, vp) for vp in ids)
+    return out

@@ -1,0 +1,9 @@
+#!/bin/bash
+# Greedy eval (reference scripts/evaluation/eval_cvdn.sh). Set $model_path.
+python train.py \
+    --stage multi --mode test --data_dir data --cfg_file configs/multi.yaml \
+    --pretrained_model_name_or_path data/models/Vicuna-7B --precision bf16 \
+    --resume_from_checkpoint $model_path \
+    --test_datasets CVDN \
+    --batch_size 4 --output_dir build/eval --validation_split test \
+    --save_pred_results

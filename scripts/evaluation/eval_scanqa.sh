@@ -1,0 +1,9 @@
+#!/bin/bash
+# ScanQA eval (reference scripts/evaluation/eval_scanqa.sh).
+python train.py \
+    --stage multi --mode test --data_dir data --cfg_file configs/multi.yaml \
+    --pretrained_model_name_or_path data/models/Vicuna-7B --precision bf16 \
+    --resume_from_checkpoint $model_path \
+    --test_datasets ScanQA \
+    --batch_size 4 --output_dir build/eval --validation_split test_wo_obj \
+    --save_pred_results
