@@ -396,6 +396,225 @@ class MP3DAgent:
                 break
         return get_results(results)
 
+
+    # ---------------- continuous-refill streaming evaluation ----------- #
+    def validate_streaming(self, name, args, config, loader, dataset=None,
+                           **kwargs):
+        """Slot-refill evaluation: N episode slots step together; a slot
+        whose episode ends is refilled with the next sample immediately
+        (SURVEY.md §7.2.7 — removes the 'batch ends when all episodes
+        end' straggler bubble of the reference rollout). Policy
+        semantics per step are identical to rollout(feedback=argmax).
+
+        EQA (which needs a second oracle pass + trie generation at the
+        final step) falls back to the batched path.
+        """
+        if name in ("EQA",):
+            return self.validate(name, args, config, loader,
+                                 dataset=dataset, **kwargs)
+        feedback = "sample" if args.do_sample else "argmax"
+        max_action_len = config.Optim.val_max_action_len[name]
+        num_slots = max(args.val_batch_size, 1)
+
+        def sample_iter():
+            for batch in loader:
+                for i in range(batch["batch_size"]):
+                    yield {k: batch[k][i] for k in
+                           ("observations", "env", "item", "data_type",
+                            "instr_id")}
+
+        samples = sample_iter()
+        results: Dict[str, dict] = {}
+        og_queue: List[dict] = []
+
+        class Slot:
+            __slots__ = ("ob", "env", "item", "data_type", "gmap", "traj",
+                         "history", "hist_vis", "t", "active", "instruction")
+
+        def fill(slot) -> bool:
+            try:
+                s = next(samples)
+            except StopIteration:
+                slot.active = False
+                return False
+            slot.ob = s["observations"]
+            slot.env = s["env"]
+            slot.item = s["item"]
+            slot.data_type = s["data_type"]
+            slot.gmap = GraphMap(slot.ob["viewpoint"])
+            slot.gmap.update_graph(slot.ob)
+            slot.traj = {"instr_id": s["instr_id"],
+                         "path": [[slot.ob["viewpoint"]]], "details": {}}
+            slot.history = []
+            slot.hist_vis = []
+            slot.t = 0
+            slot.active = True
+            slot.instruction = slot.ob["instruction"]
+            self.update_scanvp_cands([slot.ob])
+            return True
+
+        slots = []
+        for _ in range(num_slots):
+            sl = Slot()
+            fill(sl)
+            slots.append(sl)
+        if self._prefetcher is None and dataset is not None \
+                and getattr(dataset, "feat_db", None) is not None:
+            self._prefetcher = FeaturePrefetcher(dataset.feat_db)
+
+        def flush_og(force=False):
+            if not og_queue or (not force and len(og_queue) < num_slots):
+                return
+            batch = og_queue[: num_slots]
+            del og_queue[: len(batch)]
+            pad = batch + [batch[-1]] * (num_slots - len(batch))
+            self._streaming_og(args, pad, n_real=len(batch))
+
+        while any(sl.active for sl in slots):
+            active = [sl for sl in slots if sl.active]
+            obs = [sl.ob for sl in active]
+            gmaps = [sl.gmap for sl in active]
+            if self._prefetcher is not None:
+                self._prefetcher.prefetch_candidates(obs)
+            for sl in active:
+                sl.gmap.node_step_ids[sl.ob["viewpoint"]] = sl.t + 1
+
+            with self.timer.stage("pano_assemble"):
+                pano_inputs = self.panorama_inputs(obs)
+            with self.timer.stage("pano_device"):
+                pano_out = self.runner.panorama(pano_inputs,
+                                                deterministic=True)
+            pano_embeds, pano_masks = pano_out["pano_embeds"], \
+                pano_out["pano_masks"]
+            denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
+            avg_pano = (pano_embeds * pano_masks[..., None]).sum(1) / denom
+            for i, sl in enumerate(active):
+                sl.gmap.update_node_embed(sl.ob["viewpoint"], avg_pano[i],
+                                          rewrite=True)
+                for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
+                    if not sl.gmap.visited(cvp):
+                        sl.gmap.update_node_embed(cvp, pano_embeds[i, j])
+
+            with self.timer.stage("nav_assemble"):
+                gmap_in = self.nav_gmap_inputs(obs, gmaps)
+                vp_in = self.nav_vp_inputs(obs, gmaps, pano_embeds,
+                                           pano_masks,
+                                           pano_inputs["cand_vpids"])
+                match = self.local_match_slots(
+                    gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
+                    width=vp_in["vp_img_embeds"].shape[1])
+                order, prompts, _ = self.cand_order_and_prompts(
+                    gmap_in, [sl.instruction for sl in active],
+                    [sl.history for sl in active], validate=True)
+                tok_batch, cand_pos, hist_pos, cls_pos = \
+                    self.runner.tokenize_with_positions(prompts)
+            nav_batch = {
+                "gmap_img_embeds": gmap_in["gmap_img_embeds"],
+                "gmap_step_ids": gmap_in["gmap_step_ids"],
+                "gmap_pos_fts": gmap_in["gmap_pos_fts"],
+                "gmap_masks": gmap_in["gmap_masks"],
+                "gmap_visited_masks": gmap_in["gmap_visited_masks"],
+                "vp_img_embeds": vp_in["vp_img_embeds"],
+                "vp_pos_fts": vp_in["vp_pos_fts"],
+                "pano_masks": vp_in["pano_masks"],
+                "local_match_slot": match,
+                "cand_order": order,
+                "cand_positions": cand_pos,
+                "hist_positions": hist_pos,
+                "hist_embeds": self.hist_arrays(
+                    [sl.hist_vis for sl in active]),
+                "input_ids": tok_batch.input_ids,
+                "attention_mask": tok_batch.attention_mask,
+                "cls_pos": cls_pos,
+            }
+            with self.timer.stage("nav_device"):
+                logits, fuse_embeds, _ = self.runner.navigation(nav_batch)
+
+            if feedback == "sample":
+                probs = _softmax(logits / max(args.temperature, 1e-6))
+                a_t = np.array([self.np_rng.choice(
+                    len(p), p=(p / p.sum()).astype(np.float64))
+                    for p in probs.astype(np.float64)])
+            else:
+                a_t = logits.argmax(1)
+
+            nav_vpids = gmap_in["gmap_vpids"]
+            for i, sl in enumerate(active):
+                sl.history.append("<hist>")
+                sl.hist_vis.append(fuse_embeds[i, a_t[i]])
+                sl.t += 1
+                stop = (a_t[i] == 0) or gmap_in["no_vp_left"][i] \
+                    or sl.t >= max_action_len
+                if stop:
+                    if sl.data_type in ("soon", "reverie") and args.enable_og:
+                        og_queue.append({
+                            "ob": sl.ob, "history": list(sl.history),
+                            "hist_vis": list(sl.hist_vis),
+                            "instruction": sl.instruction,
+                            "traj": sl.traj})
+                    results[sl.traj["instr_id"]] = sl.traj
+                    fill(sl)
+                else:
+                    action = nav_vpids[i][a_t[i]]
+                    with self.timer.stage("env_step"):
+                        self.make_equiv_action([action], [sl.gmap], [sl.ob],
+                                               [sl.traj], [sl.env])
+                    with self.timer.stage("get_obs"):
+                        sl.ob = dataset.get_obs(items=[sl.item], env=sl.env,
+                                                data_type=sl.data_type)[0]
+                    self.update_scanvp_cands([sl.ob])
+                    sl.gmap.update_graph(sl.ob)
+            flush_og()
+        flush_og(force=True)
+        return get_results(results)
+
+    def _streaming_og(self, args, snaps, n_real):
+        """Batched object-grounding for finished streaming slots."""
+        obs = [sn["ob"] for sn in snaps]
+        pano_in = self.panorama_inputs(obs)
+        pano_out = self.runner.panorama(pano_in, deterministic=True)
+        b = len(snaps)
+        H = self.runner.cfg.hidden_size
+        O = self.dims.max_objects
+        if "obj_embeds" in pano_out:
+            obj_embeds = pano_out["obj_embeds"]
+            obj_masks = pano_out["obj_masks"]
+            obj_loc = pano_out["obj_loc_fts"]
+        else:
+            obj_embeds = np.zeros((b, O, H), np.float32)
+            obj_masks = np.zeros((b, O), bool)
+            obj_loc = np.zeros((b, O, self.args.angle_feat_size + 3),
+                               np.float32)
+        prompts = [self.get_prompt(
+            "object_grounding", instruction=sn["instruction"],
+            hist_num=len(sn["history"]),
+            cand_num=int(obj_masks[i].sum()) + 1, cls_token=CLS_TOKEN_TEXT)
+            for i, sn in enumerate(snaps)]
+        tok_batch, cand_pos, hist_pos, cls_pos = \
+            self.runner.tokenize_with_positions(prompts, max_cands=O)
+        og_batch = {
+            "obj_embeds": obj_embeds, "obj_loc_fts": obj_loc,
+            "obj_masks": obj_masks, "input_ids": tok_batch.input_ids,
+            "attention_mask": tok_batch.attention_mask,
+            "cand_positions": cand_pos, "hist_positions": hist_pos,
+            "hist_embeds": self.hist_arrays(
+                [sn["hist_vis"] for sn in snaps]),
+            "cls_pos": cls_pos,
+        }
+        obj_logits, _ = self.runner.object_grounding(og_batch)
+        for i in range(n_real):
+            ob = snaps[i]["ob"]
+            traj = snaps[i]["traj"]
+            objids = ob["obj_ids"]
+            if len(objids):
+                best = int(obj_logits[i, 1: len(objids) + 1].argmax())
+                traj["pred_objid"] = objids[best]
+                dirs = ob.get("obj_directions")
+                traj["pred_obj_direction"] = dirs[best] if dirs else None
+            else:
+                traj["pred_objid"] = None
+                traj["pred_obj_direction"] = None
+
     # ---------------- the rollout hot loop ----------------------------- #
     def rollout(self, args, name, optim_cfg, batch_dict, dataset, feedback,
                 train_ml, validate=False, trie=None, metrics=None, **kwargs):

@@ -195,8 +195,12 @@ def val_one_epoch(args, cfg, runner, val_loaders, agents, datasets, epoch,
             logger.info("***** validate %s split on %s task *****"
                         % (args.validation_split, name))
         agent = agents[name]
-        preds = agent.validate(name, args, cfg, loader,
-                               dataset=datasets[name])
+        use_streaming = getattr(args, "streaming_eval", False) and \
+            hasattr(agent, "validate_streaming") and \
+            not (args.mode == "test" and args.enable_summarize)
+        validate = agent.validate_streaming if use_streaming \
+            else agent.validate
+        preds = validate(name, args, cfg, loader, dataset=datasets[name])
         all_preds = merge_dist_results(all_gather_objects(preds))
         if args.rank == 0 and not args.validation_split.startswith("test"):
             score_summary, item_metrics = datasets[name].eval_metrics(

@@ -113,6 +113,9 @@ class TrainArgs:
     validation_split: str = "val_unseen"
     do_sample: bool = False
     temperature: float = 1.0
+    # continuous slot-refill evaluation (TPU-native; SURVEY.md §7.2.7) —
+    # disable to exactly reproduce the reference's batched eval loop
+    streaming_eval: bool = True
 
     # parallelism (TPU-native; replaces the reference's NCCL flags)
     dp_size: int = -1                # -1: all devices on the data axis
@@ -146,7 +149,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(TrainArgs):
         name = "--" + f.name
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(name, action="store_true", default=f.default)
+            # BooleanOptionalAction: --flag / --no-flag (needed for
+            # default-True flags like --streaming_eval)
+            p.add_argument(name, action=argparse.BooleanOptionalAction,
+                           default=f.default)
         elif f.name == "test_datasets":
             p.add_argument(name, type=str, nargs="+", default=None)
         else:

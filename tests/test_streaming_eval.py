@@ -1,0 +1,100 @@
+"""Continuous-refill streaming evaluation vs batched evaluation."""
+import jax
+import numpy as np
+import pytest
+
+from navillm_tpu.agents import load_agent
+from navillm_tpu.agents.runner import NavModelRunner, RolloutDims
+from navillm_tpu.data.datasets import load_dataset
+from navillm_tpu.data.feature_db import (SyntheticImageFeaturesDB,
+                                         synthetic_object_db)
+from navillm_tpu.data.loaders import Dataloader
+from navillm_tpu.models import nav_model as NM
+from navillm_tpu.models.tokenization import NavTokenizer
+from navillm_tpu.sim import WorldModel
+from navillm_tpu.utils.config import ConfigDict
+
+
+@pytest.fixture(scope="module")
+def runner():
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    return NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny())
+
+
+@pytest.fixture()
+def optim_cfg():
+    return ConfigDict({"Optim": {
+        "train_max_action_len": {"R2R": 4, "REVERIE": 4},
+        "val_max_action_len": {"R2R": 5, "REVERIE": 5},
+    }})
+
+
+def test_streaming_covers_all_episodes(train_args, task_config, data_dir,
+                                       runner, optim_cfg):
+    args = train_args
+    args.image_feat_size = runner.cfg.pano.image_feat_size
+    args.obj_feat_size = runner.cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size))
+    agent = load_agent("r2r", args, world, runner)
+    loader = Dataloader(ds, batch_size=2, shuffle=False)
+    preds = agent.validate_streaming("R2R", args, optim_cfg, loader,
+                                     dataset=ds)
+    assert len(preds) == len(ds)
+    assert {p["instr_id"] for p in preds} == set(
+        x["instr_id"] for x in ds.alldata)
+    avg, _ = ds.eval_metrics(preds, None, "R2R")
+    assert 0.0 <= avg["sr"] <= 100.0
+
+
+def test_streaming_matches_batched_single_slot(train_args, task_config,
+                                               data_dir, runner, optim_cfg):
+    """With one slot and bs=1, the RNG stream and per-step math match the
+    batched validate exactly -> identical trajectories."""
+    args = train_args
+    args.image_feat_size = runner.cfg.pano.image_feat_size
+    args.obj_feat_size = runner.cfg.pano.obj_feat_size
+    args.val_batch_size = 1
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size))
+
+    a1 = load_agent("r2r", args, world, runner)
+    preds_batched = a1.validate("R2R", args, optim_cfg,
+                                Dataloader(ds, 1, shuffle=False), dataset=ds)
+    a2 = load_agent("r2r", args, world, runner)
+    preds_stream = a2.validate_streaming("R2R", args, optim_cfg,
+                                         Dataloader(ds, 1, shuffle=False),
+                                         dataset=ds)
+    got = {p["instr_id"]: p["trajectory"] for p in preds_stream}
+    want = {p["instr_id"]: p["trajectory"] for p in preds_batched}
+    assert got == want
+
+
+def test_streaming_reverie_og(train_args, task_config, data_dir, runner,
+                              optim_cfg):
+    args = train_args
+    args.enable_og = True
+    args.val_batch_size = 1
+    args.image_feat_size = runner.cfg.pano.image_feat_size
+    args.obj_feat_size = runner.cfg.pano.obj_feat_size
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("reverie", args, task_config, training=False,
+                      source="REVERIE", world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size),
+                    synthetic_object_db("reverie",
+                                        runner.cfg.pano.obj_feat_size))
+    agent = load_agent("reverie", args, world, runner)
+    preds = agent.validate_streaming("REVERIE", args, optim_cfg,
+                                     Dataloader(ds, 1, shuffle=False),
+                                     dataset=ds)
+    assert len(preds) == len(ds)
+    assert all("pred_objid" in p for p in preds)
+    avg, _ = ds.eval_metrics(preds, None, "REVERIE")
+    assert "rgs" in avg
