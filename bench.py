@@ -169,21 +169,23 @@ def bench_rollout(args):
     agent = load_agent("r2r", targs, world, runner)
     loader = Dataloader(ds, batch_size=args.batch or 8, shuffle=False)
 
-    # warmup (compile)
+    # warmup (compile) with one batched rollout
     batch = next(iter(loader))
     agent.rollout(targs, "R2R", tcfg.Optim, batch, dataset=ds,
                   feedback="argmax", train_ml=None, validate=True)
-    iters = 2 if args.debug else max(args.iters // 4, 2)
+    # timed: continuous-refill streaming evaluation over the dataset
+    iters = 1 if args.debug else max(args.iters // 10, 2)
     t0 = time.perf_counter()
     n_episodes = 0
     for _ in range(iters):
-        batch = next(iter(loader))
-        agent.rollout(targs, "R2R", tcfg.Optim, batch, dataset=ds,
-                      feedback="argmax", train_ml=None, validate=True)
-        n_episodes += batch["batch_size"]
+        preds = agent.validate_streaming("R2R", targs, tcfg,
+                                         Dataloader(ds, targs.val_batch_size,
+                                                    shuffle=False),
+                                         dataset=ds)
+        n_episodes += len(preds)
     dt = time.perf_counter() - t0
     v = n_episodes / dt
-    return {"metric": "episodes/sec (greedy eval rollout, 1 chip)",
+    return {"metric": "episodes/sec (streaming greedy eval, 1 chip)",
             "value": round(v, 3), "unit": "episodes/sec",
             "vs_baseline": round(v / REF_EPISODES_PER_SEC_PER_CHIP, 3)}
 

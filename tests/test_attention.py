@@ -72,3 +72,42 @@ def test_query_mask_3d():
     out3 = multi_head_attention(q, k, v, kv_mask=tri, causal=False, impl="xla")
     ref = multi_head_attention(q, k, v, causal=True, impl="xla")
     np.testing.assert_allclose(np.asarray(out3), np.asarray(ref), rtol=1e-5)
+
+
+def test_flash_backward_matches_xla():
+    """Fused Pallas backward == autodiff through the XLA path."""
+    from navillm_tpu.ops.attention import _flash_differentiable
+    rng = np.random.RandomState(7)
+    b, t, nh, d = 2, 256, 2, 128
+    q = jnp.asarray(rng.randn(b, t, nh, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, nh, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, nh, d), jnp.float32)
+    mask = jnp.asarray(rng.rand(b, t) > 0.2).at[:, :2].set(True)
+    scale = d ** -0.5
+    g = jnp.asarray(rng.randn(b, t, nh, d), jnp.float32)
+
+    for causal in (False, True):
+        def f_flash(q, k, v):
+            return _flash_differentiable(q, k, v, mask, causal, scale,
+                                         interpret=True)
+
+        def f_xla(q, k, v):
+            return _attention_xla(q, k, v, mask, causal, scale)
+
+        _, vjp_flash = jax.vjp(f_flash, q, k, v)
+        _, vjp_xla = jax.vjp(f_xla, q, k, v)
+        got = vjp_flash(g)
+        want = vjp_xla(g)
+        # fully-masked rows are don't-care: zero the same rows in both
+        m = np.asarray(mask)
+        valid_keys = np.broadcast_to(m[:, None, :], (b, t, t)).copy()
+        if causal:
+            valid_keys &= np.tril(np.ones((t, t), bool))[None]
+        row_ok = valid_keys.any(-1)[:, :, None, None]
+        for name, a, bb in zip("qkv", got, want):
+            aa, bw = np.asarray(a), np.asarray(bb)
+            if name == "q":
+                aa = np.where(row_ok, aa, 0)
+                bw = np.where(row_ok, bw, 0)
+            np.testing.assert_allclose(aa, bw, rtol=2e-3, atol=2e-3,
+                                       err_msg=f"d{name} causal={causal}")
