@@ -1,0 +1,307 @@
+"""Fused teacher-forcing rollout: one LLM call for a whole trajectory.
+
+The reference runs one Vicuna forward + backward per rollout step
+(mp3d_agent.py:593-757). Under teacher forcing the entire trajectory is
+known before any model call — actions follow the expert policy, and the
+history embeddings fed to the LLM are the *pre-LLM* graph-fusion
+embeddings (nav_model.py:214 feeds fuse_embeds, which never depend on
+the LLM). So training can run as (SURVEY.md §7.1 "big win"):
+
+  1. host: simulate the whole trajectory (teacher actions, env steps),
+     snapshotting per-step graph structure and panorama inputs;
+  2. device: ONE batched panorama call over all (episode, step) rows;
+  3. host: replay graph-memory updates from the panorama outputs,
+     assemble per-row navigation arrays;
+  4. device: one fusion-only call -> history embeddings per row;
+  5. device: ONE navigation LLM loss+grad call over all rows
+     (loss = sum CE * train_ml / batch_size / grad_accum, identical to
+     the per-step path's accumulated per-step backwards);
+  6. sub-task heads (FGR2R rows batched; OG / summarization at final
+     step) as flat batched calls.
+
+Gradient structure matches the per-step path exactly: graph memory and
+history embeddings are detached in both (verified by
+tests/test_fused_teacher.py equivalence checks).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
+                          train_ml, **kwargs):
+    """Drop-in replacement for rollout(feedback='teacher', training)."""
+    from .graph_map import GraphMap
+
+    obs = [o for o in batch_dict["observations"]]
+    envs = batch_dict["env"]
+    items = batch_dict["item"]
+    data_type = batch_dict["data_type"]
+    B = len(obs)
+    max_action_len = optim_cfg.train_max_action_len[name]
+
+    agent.update_scanvp_cands(obs)
+    if agent._prefetcher is None and dataset is not None \
+            and getattr(dataset, "feat_db", None) is not None:
+        from ..data.prefetch import FeaturePrefetcher
+        agent._prefetcher = FeaturePrefetcher(dataset.feat_db)
+    gmaps = [GraphMap(ob["viewpoint"]) for ob in obs]
+    for i, ob in enumerate(obs):
+        gmaps[i].update_graph(ob)
+    traj = [{"instr_id": ob["instr_id"], "path": [[ob["viewpoint"]]],
+             "details": {}} for ob in obs]
+    instructions = [ob["instruction"] for ob in obs]
+
+    # ---------------- phase 1: host trajectory simulation ----------------
+    # per-step snapshots (structure only — nothing pano-dependent)
+    steps: List[Dict[str, Any]] = []
+    ended = np.zeros(B, bool)
+    fgr2r_steps: List[Dict[str, Any]] = []
+    t = 0
+    while t < max_action_len:
+        flag = bool(ended.all() or t == max_action_len - 1)
+        for i, gmap in enumerate(gmaps):
+            if not ended[i]:
+                gmap.node_step_ids[obs[i]["viewpoint"]] = t + 1
+
+        if agent._prefetcher is not None:
+            agent._prefetcher.prefetch_candidates(obs)
+        with agent.timer.stage("pano_assemble"):
+            pano_inputs = agent.panorama_inputs(obs)
+        with agent.timer.stage("nav_assemble"):
+            gmap_in = agent.nav_gmap_inputs(obs, gmaps)
+
+        nav_targets = agent.teacher_action(
+            obs, gmap_in["gmap_vpids"], ended,
+            visited_masks=gmap_in["gmap_visited_masks"],
+            imitation_learning=True, t=t)
+
+        step = {
+            "t": t, "flag": flag, "obs": list(obs), "ended": ended.copy(),
+            "pano_inputs": pano_inputs, "gmap_in": gmap_in,
+            "targets": nav_targets,
+            # node lists needed to rebuild gmap_img_embeds in phase 3
+            "gmap_vpids": gmap_in["gmap_vpids"],
+        }
+        steps.append(step)
+
+        a_t_stop = [ob["viewpoint"] == ob["gt_path"][-1] for ob in obs]
+
+        if (args.enable_fgr2r and data_type[0] == "r2r" and not flag
+                and not a_t_stop[0] and "fg_instruction" in obs[0]):
+            fgr2r_steps.append({
+                "obs": list(obs), "t": t, "targets": nav_targets.copy()})
+
+        # env action (teacher)
+        cpu_a_t: List[Optional[str]] = []
+        for i in range(B):
+            if a_t_stop[i] or ended[i] or gmap_in["no_vp_left"][i] \
+                    or t == max_action_len - 1:
+                cpu_a_t.append(None)
+            else:
+                cpu_a_t.append(gmap_in["gmap_vpids"][i][nav_targets[i]])
+        with agent.timer.stage("env_step"):
+            agent.make_equiv_action(cpu_a_t, gmaps, obs, traj, envs)
+        with agent.timer.stage("get_obs"):
+            obs = [dataset.get_obs(items=[items[i]], env=envs[i],
+                                   data_type=data_type[i])[0]
+                   for i in range(B)]
+        agent.update_scanvp_cands(obs)
+        for i, ob in enumerate(obs):
+            if not ended[i]:
+                gmaps[i].update_graph(ob)
+        ended = np.logical_or(ended, np.array([x is None for x in cpu_a_t]))
+        t += 1
+        if flag:
+            break
+
+    T = len(steps)
+
+    # ---------------- phase 2: one batched panorama call -----------------
+    def cat(key):
+        return np.concatenate([s["pano_inputs"][key] for s in steps], 0)
+
+    pano_cat = {"view_img_fts": cat("view_img_fts"),
+                "loc_fts": cat("loc_fts"), "nav_types": cat("nav_types"),
+                "view_lens": cat("view_lens")}
+    if "obj_img_fts" in steps[0]["pano_inputs"]:
+        pano_cat.update({"obj_img_fts": cat("obj_img_fts"),
+                         "obj_loc_fts": cat("obj_loc_fts"),
+                         "obj_lens": cat("obj_lens")})
+    with agent.timer.stage("pano_device"):
+        pano_out = agent.runner.panorama(pano_cat, deterministic=False)
+    pano_embeds_all = pano_out["pano_embeds"].reshape(T, B, *pano_out[
+        "pano_embeds"].shape[1:])
+    pano_masks_all = pano_out["pano_masks"].reshape(T, B, -1)
+
+    # ------------- phase 3: replay memory + assemble rows ----------------
+    # rebuild node embeddings step by step from the batched pano outputs
+    for i, g in enumerate(gmaps):
+        g._embed_sum.clear()
+        g._embed_cnt.clear()
+    rows: List[Dict[str, Any]] = []     # one per (step, episode)
+    H = agent.runner.cfg.hidden_size
+    with agent.timer.stage("nav_assemble"):
+        for st_idx, step in enumerate(steps):
+            pe = pano_embeds_all[st_idx]
+            pm = pano_masks_all[st_idx]
+            denom = np.maximum(pm.sum(1, keepdims=True), 1)
+            avg = (pe * pm[..., None]).sum(1) / denom
+            sobs = step["obs"]
+            for i in range(B):
+                if step["ended"][i]:
+                    continue
+                gmaps[i].update_node_embed(sobs[i]["viewpoint"], avg[i],
+                                           rewrite=True)
+                for j, cvp in enumerate(
+                        step["pano_inputs"]["cand_vpids"][i]):
+                    # visited status AT THIS STEP was captured in the
+                    # snapshot's visited mask via vpid ordering; a node is
+                    # embedding-updated unless it was already visited then
+                    vps = step["gmap_vpids"][i]
+                    if cvp in vps:
+                        k = vps.index(cvp)
+                        if step["gmap_in"]["gmap_visited_masks"][i][k]:
+                            continue
+                    gmaps[i].update_node_embed(cvp, pe[i, j])
+            # fill node embeds into this step's gmap arrays
+            gin = step["gmap_in"]
+            for i in range(B):
+                for k, vp in enumerate(step["gmap_vpids"][i]):
+                    if k > 0 and vp is not None and \
+                            gmaps[i].has_node_embed(vp):
+                        gin["gmap_img_embeds"][i, k] = \
+                            gmaps[i].get_node_embed(vp)
+            vp_in = agent.nav_vp_inputs(sobs, gmaps, pe, pm,
+                                        step["pano_inputs"]["cand_vpids"])
+            match = agent.local_match_slots(
+                step["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
+                width=vp_in["vp_img_embeds"].shape[1])
+            # NOTE: local_match_slots checks CURRENT visited state; use the
+            # snapshot mask instead
+            for i in range(B):
+                vps = step["gmap_vpids"][i]
+                idx = {vp: k for k, vp in enumerate(vps) if vp}
+                row = np.full(match.shape[1], -1, np.int32)
+                for j, vp in enumerate(vp_in["vp_cand_vpids"][i]):
+                    if j == 0 or vp is None or vp not in idx:
+                        continue
+                    k = idx[vp]
+                    if not step["gmap_in"]["gmap_visited_masks"][i][k]:
+                        row[j] = k
+                match[i] = row
+            step["vp_in"] = vp_in
+            step["match"] = match
+
+    # ------------- phase 4: fusion-only for history embeddings -----------
+    def cat_steps(getter):
+        return np.concatenate([getter(s) for s in steps], 0)
+
+    fuse_batch = {
+        "gmap_img_embeds": cat_steps(lambda s: s["gmap_in"]["gmap_img_embeds"]),
+        "gmap_step_ids": cat_steps(lambda s: s["gmap_in"]["gmap_step_ids"]),
+        "gmap_pos_fts": cat_steps(lambda s: s["gmap_in"]["gmap_pos_fts"]),
+        "gmap_masks": cat_steps(lambda s: s["gmap_in"]["gmap_masks"]),
+        "gmap_visited_masks": cat_steps(
+            lambda s: s["gmap_in"]["gmap_visited_masks"]),
+        "vp_img_embeds": cat_steps(lambda s: s["vp_in"]["vp_img_embeds"]),
+        "vp_pos_fts": cat_steps(lambda s: s["vp_in"]["vp_pos_fts"]),
+        "pano_masks": cat_steps(lambda s: s["vp_in"]["pano_masks"]),
+        "local_match_slot": cat_steps(lambda s: s["match"]),
+    }
+    with agent.timer.stage("nav_device"):
+        fuse_all = agent.runner.fuse_embeds_only(fuse_batch) \
+            .reshape(T, B, -1, H)
+
+    # history: hist_vis[t] for episode i = fuse_all[t'][i, target_{t'}]
+    # for t' < t (appended for every non-ignored step, incl. after end —
+    # matching rollout's history loop over a_t != ignoreid)
+    Hh = agent.dims.max_hist
+    hist_embeds_rows = np.zeros((T * B, Hh, H), np.float32)
+    hist_counts = np.zeros((T, B), np.int32)
+    hist_store = [[] for _ in range(B)]
+    for st_idx, step in enumerate(steps):
+        for i in range(B):
+            hist_counts[st_idx, i] = len(hist_store[i])
+            tail = hist_store[i][-Hh:]
+            for k, v in enumerate(tail):
+                hist_embeds_rows[st_idx * B + i, k] = v
+        for i in range(B):
+            a = step["targets"][i]
+            if a != args.ignoreid:
+                hist_store[i].append(fuse_all[st_idx, i, a])
+
+    # ------------- phase 5: one navigation LLM loss+grad call ------------
+    prompts = []
+    orders = []
+    C = agent.dims.max_cands
+    from .mp3d_agent import CLS_TOKEN_TEXT
+    for st_idx, step in enumerate(steps):
+        for i in range(B):
+            slots = [k for k, vp in enumerate(step["gmap_vpids"][i])
+                     if k > 0 and vp is not None
+                     and not step["gmap_in"]["gmap_visited_masks"][i][k]]
+            perm = agent.np_rng.permutation(slots)[:C]
+            row = np.full(C, -1, np.int32)
+            row[: len(perm)] = perm
+            orders.append(row)
+            prompts.append(agent.get_prompt(
+                "navigation", instruction=instructions[i],
+                hist_num=int(hist_counts[st_idx, i]),
+                cand_num=min(len(slots) + 1, C + 1),
+                cls_token=CLS_TOKEN_TEXT))
+    tok_batch, cand_pos, hist_pos, cls_pos = \
+        agent.runner.tokenize_with_positions(prompts)
+    nav_batch = dict(fuse_batch)
+    nav_batch.update({
+        "cand_order": np.stack(orders),
+        "cand_positions": cand_pos,
+        "hist_positions": hist_pos,
+        "hist_embeds": hist_embeds_rows,
+        "input_ids": tok_batch.input_ids,
+        "attention_mask": tok_batch.attention_mask,
+        "cls_pos": cls_pos,
+    })
+    targets = np.concatenate([s["targets"] for s in steps], 0)
+    coef = train_ml / B / args.gradient_accumulation_step
+    with agent.timer.stage("nav_device"):
+        _, _, ml_loss = agent.runner.navigation(
+            nav_batch, targets=targets, coef=coef, train=True)
+
+    # ------------- sub-task heads ----------------------------------------
+    final = steps[-1]
+    history_final = [["<hist>"] * int(len(hist_store[i]))
+                     for i in range(B)]
+    hist_vis_final = hist_store
+    if data_type[0] in ("soon", "reverie") and args.enable_og:
+        ml_loss += agent._object_grounding_step(
+            args, final["obs"], gmaps, final["gmap_in"], instructions,
+            history_final, hist_vis_final, final["pano_inputs"], traj, B,
+            validate=False, training=True)
+
+    for fg in fgr2r_steps:
+        ml_loss += agent._generation_step(
+            args, fg["obs"], gmaps, history=[[] for _ in range(B)],
+            hist_vis=[[] for _ in range(B)],
+            instructions=["where are we going with direction ({}) ?"
+                          .format(int(idx)) for idx in fg["targets"]],
+            answers=[ob["fg_instruction"][ob["fg_view"][fg["t"]]]
+                     for ob in fg["obs"]],
+            mode="embodied_qa", task="r2r", validate=False, training=True,
+            traj=traj, trie=None)
+
+    if data_type[0] == "eqa" or (
+            data_type[0] in ("r2r", "soon", "reverie", "r2r_aug",
+                             "reverie_aug") and args.enable_summarize):
+        mode = "embodied_qa" if data_type[0] == "eqa" else "summarization"
+        answers = [ob.get("answer", "") if data_type[0] == "eqa"
+                   else ob["instruction"] for ob in final["obs"]]
+        ml_loss += agent._generation_step(
+            args, final["obs"], gmaps, history=history_final,
+            hist_vis=hist_vis_final, instructions=instructions,
+            answers=answers, mode=mode, task=agent.name, validate=False,
+            training=True, traj=traj, trie=None)
+
+    return ml_loss, traj

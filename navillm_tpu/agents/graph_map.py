@@ -65,6 +65,22 @@ class GraphMap:
     def nodes(self) -> List[str]:
         return list(self.node_positions.keys())
 
+    def save_to_json(self) -> dict:
+        """Debug dump of the topological memory (graph_utils.py:167-185)."""
+        nodes = {}
+        for vp, pos in self.node_positions.items():
+            nodes[vp] = {"location": list(map(float, pos)),
+                         "visited": self.visited(vp)}
+            if nodes[vp]["visited"] and vp in self.node_stop_scores:
+                nodes[vp]["stop_prob"] = self.node_stop_scores[vp].get("stop")
+                nodes[vp]["og_objid"] = self.node_stop_scores[vp].get("og")
+        edges = []
+        for a in self.node_positions:
+            for b in self.node_positions:
+                if a < b and self.graph.distance(a, b) < float("inf"):
+                    edges.append((a, b))
+        return {"nodes": nodes, "edges": edges}
+
     def get_pos_fts(self, cur_vp: str, vpids: List[Optional[str]],
                     cur_heading: float, cur_elevation: float,
                     angle_feat_size: int = 4) -> np.ndarray:

@@ -352,11 +352,18 @@ class MP3DAgent:
         loss_coef = stage_cfg.LOSS_COEF.get(name, 1.0) \
             if "LOSS_COEF" in stage_cfg else 1.0
         if args.stage == "pretrain" or step % 2 == 0:
-            loss, _ = self.rollout(args, name, config.Optim, batch,
-                                   dataset=dataset, feedback="teacher",
-                                   train_ml=loss_coef *
-                                   args.teacher_forcing_coef,
-                                   metrics=metrics, **kwargs)
+            train_ml = loss_coef * args.teacher_forcing_coef
+            if getattr(args, "fused_teacher", False):
+                from .fused_teacher import rollout_teacher_fused
+                loss, _ = rollout_teacher_fused(self, args, name,
+                                                config.Optim, batch,
+                                                dataset=dataset,
+                                                train_ml=train_ml, **kwargs)
+            else:
+                loss, _ = self.rollout(args, name, config.Optim, batch,
+                                       dataset=dataset, feedback="teacher",
+                                       train_ml=train_ml,
+                                       metrics=metrics, **kwargs)
         else:
             loss, _ = self.rollout(args, name, config.Optim, batch,
                                    dataset=dataset, feedback="sample",

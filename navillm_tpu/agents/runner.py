@@ -131,6 +131,11 @@ class NavModelRunner:
                                     deterministic=deterministic)
 
         @jax.jit
+        def fuse_only_fn(params, batch):
+            fuse, cand_masks = NM.fuse_gmap_local(params, cfg, batch)
+            return fuse
+
+        @jax.jit
         def nav_infer_fn(params, batch):
             out = NM.forward_navigation(params, cfg, batch)
             return out["fuse_logits"], out["fuse_embeds"]
@@ -180,6 +185,7 @@ class NavModelRunner:
             accum = jax.tree.map(jnp.add, accum, grads)
             return accum, loss, logits
 
+        self._fuse_only_fn = fuse_only_fn
         self._gen_embeds_fn = gen_embeds_fn
         self._pano_fn = pano_fn
         self._pano_obj_fn = pano_obj_fn
@@ -245,6 +251,12 @@ class NavModelRunner:
                 self.params, self.grad_accum, dev, tgt, jnp.float32(coef))
             return np.asarray(logits), float(loss)
         return np.asarray(self._og_infer_fn(self.params, dev)), 0.0
+
+    def fuse_embeds_only(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        """Graph/local fusion without the LLM — used by the fused
+        teacher-forcing rollout to extract history embeddings."""
+        dev = self._put_batch(batch)
+        return np.asarray(self._fuse_only_fn(self.params, dev))
 
     def gen_embeds(self, vp_img_embeds, vp_masks) -> np.ndarray:
         """Device zero-pos/type-0 fusion for generation paths."""

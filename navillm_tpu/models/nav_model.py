@@ -250,12 +250,18 @@ def forward_object_grounding(params, cfg: NavModelConfig, batch):
     return {"obj_logits": jnp.where(slot < cand_nums[:, None], preds, NEG_INF)}
 
 
-def navigation_loss(fuse_logits, targets, ignore_id: int = -100):
-    """CE over gmap slots with ignore labels (criterion at
-    mp3d_agent.py:750-757 uses nn.CrossEntropyLoss(ignore_index=-100))."""
+def navigation_loss(fuse_logits, targets, ignore_id: int = -100,
+                    reduction: str = "sum"):
+    """CE over gmap slots with ignore labels. Default reduction is SUM
+    over the batch to match the reference's criterion
+    (nn.CrossEntropyLoss(ignore_index, reduction='sum'), train.py:231)
+    whose output is then scaled by train_ml / batch_size / grad_accum
+    (mp3d_agent.py:750-757)."""
     valid = targets != ignore_id
     safe = jnp.maximum(targets, 0)
     logp = jax.nn.log_softmax(fuse_logits, axis=-1)
     nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
     total = jnp.sum(jnp.where(valid, nll, 0.0))
-    return total / jnp.maximum(jnp.sum(valid), 1)
+    if reduction == "mean":
+        return total / jnp.maximum(jnp.sum(valid), 1)
+    return total

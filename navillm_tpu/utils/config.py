@@ -116,6 +116,9 @@ class TrainArgs:
     # continuous slot-refill evaluation (TPU-native; SURVEY.md §7.2.7) —
     # disable to exactly reproduce the reference's batched eval loop
     streaming_eval: bool = True
+    # fused whole-trajectory teacher-forcing training (one LLM call per
+    # trajectory instead of per step; same gradients — SURVEY.md §7.1)
+    fused_teacher: bool = True
 
     # parallelism (TPU-native; replaces the reference's NCCL flags)
     dp_size: int = -1                # -1: all devices on the data axis

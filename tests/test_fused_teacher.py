@@ -1,0 +1,123 @@
+"""Fused whole-trajectory teacher forcing == per-step rollout (gradients)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navillm_tpu.agents import load_agent
+from navillm_tpu.agents.fused_teacher import rollout_teacher_fused
+from navillm_tpu.agents.runner import NavModelRunner, RolloutDims
+from navillm_tpu.data.datasets import load_dataset
+from navillm_tpu.data.feature_db import SyntheticImageFeaturesDB
+from navillm_tpu.data.loaders import Dataloader
+from navillm_tpu.models import nav_model as NM
+from navillm_tpu.models.pano_encoder import PanoConfig
+from navillm_tpu.models.tokenization import NavTokenizer
+from navillm_tpu.sim import WorldModel
+from navillm_tpu.utils.config import ConfigDict
+
+
+@pytest.fixture(scope="module")
+def det_runner():
+    """Dropout-free runner so per-step and fused paths are deterministic."""
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    llm = NM.L.LlamaConfig.tiny(vocab_size=tok.vocab_size)
+    pano = PanoConfig.tiny(output_size=llm.hidden_size,
+                           hidden_dropout_prob=0.0)
+    cfg = NM.NavModelConfig(llm=llm, pano=pano)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    return NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny(),
+                          feat_dropout=0.0)
+
+
+@pytest.fixture()
+def optim_cfg():
+    return ConfigDict({"Optim": {
+        "train_max_action_len": {"R2R": 4},
+        "val_max_action_len": {"R2R": 5}}})
+
+
+class _IdentityRng:
+    """np_rng stand-in whose permutation is the identity."""
+
+    def permutation(self, x):
+        return np.asarray(x)
+
+    def choice(self, n, p=None):
+        return 0
+
+
+def _identity_perm(agent):
+    agent.np_rng = _IdentityRng()
+
+
+def _grads_norm_tree(grads):
+    return {".".join(map(str, path)): float(jnp.abs(leaf).sum())
+            for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]
+            if float(jnp.abs(leaf).sum()) > 0}
+
+
+def test_fused_matches_per_step(train_args, task_config, data_dir,
+                                det_runner, optim_cfg):
+    args = train_args
+    args.image_feat_size = det_runner.cfg.pano.image_feat_size
+    args.obj_feat_size = det_runner.cfg.pano.obj_feat_size
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=True, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(
+        det_runner.cfg.pano.image_feat_size))
+    batch = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+
+    # per-step reference path
+    a1 = load_agent("r2r", args, world, det_runner)
+    _identity_perm(a1)
+    det_runner.zero_grads()
+    loss_step, traj_step = a1.rollout(args, "R2R", optim_cfg.Optim, batch,
+                                      dataset=ds, feedback="teacher",
+                                      train_ml=1.0)
+    grads_step = det_runner.take_grads()
+
+    # fused path (fresh batch: env state was consumed)
+    batch2 = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+    a2 = load_agent("r2r", args, world, det_runner)
+    _identity_perm(a2)
+    det_runner.zero_grads()
+    loss_fused, traj_fused = rollout_teacher_fused(
+        a2, args, "R2R", optim_cfg.Optim, batch2, dataset=ds, train_ml=1.0)
+    grads_fused = det_runner.take_grads()
+
+    # identical teacher trajectories
+    assert [t["path"] for t in traj_step] == [t["path"] for t in traj_fused]
+    # identical total loss
+    assert loss_fused == pytest.approx(loss_step, rel=1e-4), \
+        (loss_step, loss_fused)
+    # identical accumulated gradients
+    flat_s = jax.tree.leaves(grads_step)
+    flat_f = jax.tree.leaves(grads_fused)
+    for s, f in zip(flat_s, flat_f):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(s), rtol=2e-3,
+                                   atol=2e-5)
+
+
+def test_fused_via_train_entrypoint(train_args, task_config, data_dir,
+                                    det_runner, optim_cfg):
+    args = train_args
+    args.image_feat_size = det_runner.cfg.pano.image_feat_size
+    args.obj_feat_size = det_runner.cfg.pano.obj_feat_size
+    args.fused_teacher = True
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=True, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(
+        det_runner.cfg.pano.image_feat_size))
+    batch = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+    agent = load_agent("r2r", args, world, det_runner)
+    cfg = ConfigDict({"Multi": {"LOSS_COEF": {}},
+                      "Optim": optim_cfg.Optim})
+    det_runner.zero_grads()
+    loss = agent.train("R2R", batch, args, cfg, dataset=ds, step=0)
+    assert np.isfinite(loss) and loss > 0
+    det_runner.take_grads()
