@@ -21,7 +21,7 @@ from ..sim.graph import EpisodeGraph
 
 
 class GraphMap:
-    def __init__(self, start_vp: str, capacity: int = 256):
+    def __init__(self, start_vp: str, capacity: int = 512):
         self.start_vp = start_vp
         self.node_positions: Dict[str, np.ndarray] = {}
         self.graph = EpisodeGraph(capacity=capacity)

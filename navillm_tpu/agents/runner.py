@@ -30,10 +30,14 @@ from ..models.tokenization import NavTokenizer
 
 @dataclasses.dataclass(frozen=True)
 class RolloutDims:
-    """Static padded sizes for the rollout's device batches."""
-    max_gmap_nodes: int = 64    # [stop] + discovered nodes
+    """Static padded sizes for the rollout's device batches.
+
+    max_cands mirrors the reference's 100-slot out_head (nav_model.py:87):
+    every unvisited graph node is a candidate, so truncating below 99
+    would silently remove reachable actions on long CVDN episodes."""
+    max_gmap_nodes: int = 160   # [stop] + discovered nodes (30-step CVDN)
     max_views: int = 44         # candidates + non-cand views (<= 36 + dup cands)
-    max_cands: int = 16         # <cand> tokens per prompt
+    max_cands: int = 99         # <cand> tokens per prompt (out_head slots - 1)
     max_hist: int = 32          # <hist> tokens (max action len is 30)
     max_objects: int = 72
 
@@ -52,6 +56,8 @@ class NavModelRunner:
         modules replicated) and batch arrays shard their leading episode
         axis over 'data'; XLA then inserts the grad psum / TP collectives
         (the DDP/NCCL replacement, SURVEY.md §2.2)."""
+        from ..utils.jax_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg
         self.tok = tokenizer
         self.dims = dims

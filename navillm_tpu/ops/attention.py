@@ -396,8 +396,12 @@ def multi_head_attention(q, k, v, *, kv_mask=None, causal=True,
 
     t, s, d = q.shape[1], k.shape[1], q.shape[-1]
     if impl == "auto":
+        # flash wins on HBM (no [T,S] probs tensor) but measured runtime
+        # only beats XLA's fused attention beyond ~512 tokens on v5e,
+        # and each Mosaic kernel compile costs minutes through the
+        # remote-compile tunnel — so auto picks flash only where it pays
         on_tpu = jax.default_backend() == "tpu"
-        impl = "flash" if (on_tpu and t >= 8 and s >= 128 and d % 128 == 0) \
+        impl = "flash" if (on_tpu and t >= 8 and s >= 768 and d % 128 == 0) \
             else "xla"
     if impl == "flash":
         if kv_mask is None:

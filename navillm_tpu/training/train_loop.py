@@ -242,6 +242,11 @@ def run_training(args, cfg, logger=None, world=None, feat_dbs=None,
                  obj_feat_dbs=None, runner=None):
     """Full main() flow (reference train.py:207-294). Injectable world /
     feature DBs / runner keep it testable hermetically."""
+    # multi-host: jax discovers the topology; replaces the reference's
+    # torchrun/SLURM env sniffing (tools/distributed.py:38-102)
+    if args.world_size == 1 and jax.process_count() > 1:
+        args.rank = jax.process_index()
+        args.world_size = jax.process_count()
     np.random.seed(args.seed + args.rank)
 
     world, train_loaders, train_datasets, feat_dbs, obj_feat_dbs = \
