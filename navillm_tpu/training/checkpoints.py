@@ -9,9 +9,12 @@ Mirrors the reference's semantics (tools/optims.py:7-32,65-78):
     (the reference's latest.pt vs latest_states.pt mismatch,
     SURVEY.md §5, is deliberately fixed).
 
-Format: one .npz of flattened path->array leaves + a small JSON header.
-Flat npz keeps restore trivially shape-tolerant and dependency-free;
-orbax's async/sharded writer can be slotted behind the same API later.
+Backends behind one API:
+  - npz (default for small trees): one .npz of flattened path->array
+    leaves + a JSON header — trivially shape-tolerant, dependency-free;
+  - orbax (default for >=1 GiB trees, or backend="orbax"): async,
+    sharded, multi-host-safe writes for 7B-scale checkpoints; restore
+    goes through the same shape-tolerant merge.
 """
 from __future__ import annotations
 
@@ -35,19 +38,40 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
     return flat
 
 
+_ORBAX_THRESHOLD_BYTES = 1 << 30
+
+
+def _tree_bytes(tree) -> int:
+    import jax
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))
+
+
 def save_checkpoint(path: str | Path, params, opt_state=None,
-                    epoch: Optional[int] = None):
+                    epoch: Optional[int] = None, backend: str = "auto"):
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    arrays = {"params" + SEP + k: v for k, v in _flatten(params).items()}
-    header: Dict[str, Any] = {"epoch": epoch}
-    if opt_state is not None:
-        arrays.update({"opt" + SEP + k: v
-                       for k, v in _flatten(opt_state).items()})
-        header["has_opt"] = True
-    tmp = path.with_suffix(".tmp.npz")
-    np.savez(tmp, **arrays)
-    os.replace(tmp, path.with_suffix(".npz"))
+    if backend == "auto":
+        backend = "orbax" if _tree_bytes(params) >= _ORBAX_THRESHOLD_BYTES \
+            else "npz"
+    header: Dict[str, Any] = {"epoch": epoch, "backend": backend}
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        item = {"params": params}
+        if opt_state is not None:
+            item["opt"] = opt_state
+            header["has_opt"] = True
+        ckptr = ocp.PyTreeCheckpointer()
+        odir = path.with_suffix(".orbax")
+        ckptr.save(str(odir.absolute()), item, force=True)
+    else:
+        arrays = {"params" + SEP + k: v for k, v in _flatten(params).items()}
+        if opt_state is not None:
+            arrays.update({"opt" + SEP + k: v
+                           for k, v in _flatten(opt_state).items()})
+            header["has_opt"] = True
+        tmp = path.with_suffix(".tmp.npz")
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path.with_suffix(".npz"))
     with open(path.with_suffix(".json"), "w") as f:
         json.dump(header, f)
 
@@ -77,15 +101,29 @@ def load_checkpoint(path: str | Path, params, opt_state=None, logger=None
                     ) -> Tuple[Any, Any, int]:
     """Returns (params, opt_state, resume_from_epoch)."""
     path = Path(path)
-    npz = path.with_suffix(".npz")
-    data = np.load(npz, allow_pickle=False)
-    flat = {k: data[k] for k in data.files}
-    params = _restore_into(params, flat, "params", logger)
     header_path = path.with_suffix(".json")
-    epoch = None
+    header = {}
     if header_path.exists():
         with open(header_path) as f:
-            epoch = json.load(f).get("epoch")
+            header = json.load(f)
+    epoch = header.get("epoch")
+
+    if header.get("backend") == "orbax" or (
+            not path.with_suffix(".npz").exists()
+            and path.with_suffix(".orbax").exists()):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        raw = ckptr.restore(str(path.with_suffix(".orbax").absolute()))
+        flat = {"params" + SEP + k: v
+                for k, v in _flatten(raw["params"]).items()}
+        if "opt" in raw:
+            flat.update({"opt" + SEP + k: v
+                         for k, v in _flatten(raw["opt"]).items()})
+    else:
+        data = np.load(path.with_suffix(".npz"), allow_pickle=False)
+        flat = {k: data[k] for k in data.files}
+
+    params = _restore_into(params, flat, "params", logger)
     if opt_state is not None and any(k.startswith("opt" + SEP) for k in flat):
         opt_state = _restore_into(opt_state, flat, "opt", logger)
     resume = (epoch + 1) if epoch is not None else 0
@@ -93,4 +131,5 @@ def load_checkpoint(path: str | Path, params, opt_state=None, logger=None
 
 
 def checkpoint_exists(path: str | Path) -> bool:
-    return Path(path).with_suffix(".npz").exists()
+    p = Path(path)
+    return p.with_suffix(".npz").exists() or p.with_suffix(".orbax").exists()

@@ -100,3 +100,25 @@ def test_run_training_end_to_end(train_args, data_dir, tmp_path):
     # best-epoch checkpoint + latest states written
     assert checkpoint_exists(tmp_path / "epoch_0")
     assert checkpoint_exists(tmp_path / "latest")
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    import pytest as _pytest
+    _pytest.importorskip("orbax.checkpoint")
+    params = {"w": jnp.arange(8.0).reshape(2, 4),
+              "nest": {"b": jnp.full((3,), 2.0)}}
+    opt = {"mu": jnp.ones((2, 4))}
+    save_checkpoint(tmp_path / "big", params, opt, epoch=1, backend="orbax")
+    assert checkpoint_exists(tmp_path / "big")
+    live = jax.tree.map(jnp.zeros_like, params)
+    live_opt = jax.tree.map(jnp.zeros_like, opt)
+    p2, o2, resume = load_checkpoint(tmp_path / "big", live, live_opt)
+    assert resume == 2
+    np.testing.assert_allclose(np.asarray(p2["w"]),
+                               np.arange(8.0).reshape(2, 4))
+    np.testing.assert_allclose(np.asarray(o2["mu"]), 1.0)
+    # shape-tolerant partial load from orbax too
+    live = {"w": jnp.zeros((5, 4)), "nest": {"b": jnp.zeros((3,))}}
+    p3, _, _ = load_checkpoint(tmp_path / "big", live)
+    assert p3["w"].shape == (5, 4)
+    np.testing.assert_allclose(np.asarray(p3["nest"]["b"]), 2.0)
