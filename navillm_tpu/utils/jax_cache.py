@@ -15,6 +15,12 @@ def enable_compilation_cache(cache_dir: str | None = None):
     global _enabled
     if _enabled:
         return
+    # remote-compile setups (axon relay) build executables on a different
+    # machine profile; cached CPU AOT artifacts then trip feature-mismatch
+    # loads (potential SIGILL) — skip the disk cache there
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+        _enabled = True
+        return
     import jax
     cache_dir = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
