@@ -84,23 +84,24 @@ class GraphMap:
     def get_pos_fts(self, cur_vp: str, vpids: List[Optional[str]],
                     cur_heading: float, cur_elevation: float,
                     angle_feat_size: int = 4) -> np.ndarray:
-        """7-dim rel-pos features per node; None rows are zero
-        (graph_utils.py:144-165)."""
+        """7-dim rel-pos features per node; None rows get the zero-angle
+        feature (graph_utils.py:144-165). Vectorized: geometry in one
+        numpy pass, graph distances + step counts in one native call."""
         n = len(vpids)
         out = np.zeros((n, angle_feat_size + 3), np.float32)
+        out[:, :angle_feat_size] = angle_feature(0.0, 0.0, angle_feat_size)
+        real = [(k, vp) for k, vp in enumerate(vpids) if vp is not None]
+        if not real:
+            return out
+        idx = np.asarray([k for k, _ in real])
+        vps = [vp for _, vp in real]
         cur_pos = self.node_positions[cur_vp]
-        for k, vp in enumerate(vpids):
-            if vp is None:
-                out[k, :angle_feat_size] = angle_feature(0.0, 0.0,
-                                                         angle_feat_size)
-                continue
-            h, e, line = rel_heading_elevation_dist(
-                cur_pos, self.node_positions[vp], cur_heading, cur_elevation)
-            out[k, :angle_feat_size] = angle_feature(float(h), float(e),
-                                                     angle_feat_size)
-            out[k, angle_feat_size] = line / MAX_DIST
-            out[k, angle_feat_size + 1] = \
-                self.graph.distance(cur_vp, vp) / MAX_DIST
-            out[k, angle_feat_size + 2] = \
-                len(self.graph.path(cur_vp, vp)) / MAX_STEP
+        pos = np.stack([self.node_positions[vp] for vp in vps])
+        h, e, line = rel_heading_elevation_dist(cur_pos, pos, cur_heading,
+                                                cur_elevation)
+        out[idx, :angle_feat_size] = angle_feature(h, e, angle_feat_size)
+        out[idx, angle_feat_size] = line / MAX_DIST
+        dist, steps = self.graph.dist_steps(cur_vp, vps)
+        out[idx, angle_feat_size + 1] = dist / MAX_DIST
+        out[idx, angle_feat_size + 2] = steps / MAX_STEP
         return out

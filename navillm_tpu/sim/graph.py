@@ -263,6 +263,22 @@ class EpisodeGraph:
             return [self.ids[y]]
         return self._path_numpy(x, k) + self._path_numpy(k, y)
 
+    def dist_steps(self, src: str, vps: Sequence[str]):
+        """Batched (distance, path-step-count) from src to each vp —
+        one native call instead of per-node distance()+path() pairs."""
+        isrc = self._idx(src)
+        ids = np.asarray([self._idx(v) for v in vps], dtype=np.int32)
+        k = len(ids)
+        dist = np.empty(k, np.float64)
+        steps = np.empty(k, np.int32)
+        if self._h is not None:
+            self._lib.ep_dist_steps(self._h, isrc, k, ids, dist, steps)
+        else:
+            for i, v in enumerate(vps):
+                dist[i] = self.distance(src, v)
+                steps[i] = len(self.path(src, v))
+        return dist, steps
+
     def pair_distances(self, vps: Sequence[str]) -> np.ndarray:
         """Pairwise distance matrix over an ordered node list (one native
         call instead of the reference's O(N^2) Python loop,

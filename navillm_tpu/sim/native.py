@@ -80,6 +80,9 @@ def load_library():
         lib.ep_path.argtypes = [c.c_int64, c.c_int32, c.c_int32, i32p, c.c_int32]
         lib.ep_pair_dists.restype = None
         lib.ep_pair_dists.argtypes = [c.c_int64, c.c_int32, i32p, f64p]
+        lib.ep_dist_steps.restype = None
+        lib.ep_dist_steps.argtypes = [c.c_int64, c.c_int32, c.c_int32, i32p,
+                                      f64p, i32p]
         _lib = lib
         return _lib
 

@@ -232,6 +232,30 @@ int32_t ep_path(int64_t h, int32_t a, int32_t b, int32_t* out, int32_t cap) {
   return ep_path_rec(*g_eps[h], a, b, out, cap, 0);
 }
 
+static int ep_path_len_rec(const EpisodeGraph& e, int x, int y) {
+  if (x == y) return 0;
+  int32_t k = e.mid[(size_t)x * e.cap + y];
+  if (k < 0) return 1;
+  return ep_path_len_rec(e, x, k) + ep_path_len_rec(e, k, y);
+}
+
+// Batched (distance, path-step-count) from src to k nodes — one ctypes
+// call per rollout step feeds GraphMap.get_pos_fts (the reference calls
+// graph.distance + len(graph.path) per node, graph_utils.py:158-161).
+void ep_dist_steps(int64_t h, int32_t src, int32_t k, const int32_t* ids,
+                   double* out_dist, int32_t* out_steps) {
+  const auto& e = *g_eps[h];
+  for (int i = 0; i < k; i++) {
+    if (ids[i] == src) {
+      out_dist[i] = 0.0;
+      out_steps[i] = 0;
+    } else {
+      out_dist[i] = e.dist[(size_t)src * e.cap + ids[i]];
+      out_steps[i] = ep_path_len_rec(e, src, ids[i]);
+    }
+  }
+}
+
 // Pairwise distance matrix over an ordered node subset (k ids) — one call
 // per rollout step replaces the reference's Python double loop
 // (tasks/agents/mp3d_agent.py:337-341).
