@@ -176,6 +176,11 @@ def train_one_epoch(args, cfg, runner, tx, opt_state, opt_step, meta_loader,
                                                 grads)
             runner.zero_grads()
 
+        if logger is not None and args.rank == 0 and (step + 1) % 100 == 0:
+            logger.info("epoch %d step %d/%d [%s] loss=%.4f"
+                        % (epoch, step + 1, num_batches, name,
+                           loss_metric.average))
+
         if step == num_batches - 1:
             if logger is not None:
                 msg = "***** train [%d] epoch *****\nLoss: %.4f\n" \
