@@ -227,7 +227,7 @@ def bench_decode(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--debug", action="store_true")
-    ap.add_argument("--mode", default="train_step",
+    ap.add_argument("--mode", default="rollout",
                     choices=["train_step", "rollout", "decode"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--seq", type=int, default=None)
