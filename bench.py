@@ -137,8 +137,8 @@ def bench_rollout(args):
                              cols=8)
     rng = np.random.RandomState(0)
     items = []
-    g = None
-    for pid in range(args.batch or 8):
+    n_slots = args.batch or 8
+    for pid in range(max(32, 4 * n_slots)):   # 4x slots so refill engages
         r0, c0 = rng.randint(0, 8, 2)
         r1, c1 = rng.randint(0, 8, 2)
         items.append({"distance": 1.0, "scan": "bench0", "path_id": pid,
@@ -154,7 +154,8 @@ def bench_rollout(args):
         it["path"] = gph.path(f"vp_{r0}_{c0}", f"vp_{r1}_{c1}")
     (d / "val.json").write_text(_json.dumps(items))
 
-    targs = TrainArgs(data_dir=str(root), batch_size=8, val_batch_size=8)
+    targs = TrainArgs(data_dir=str(root), batch_size=n_slots,
+                      val_batch_size=n_slots)
     targs.image_feat_size = cfg.pano.image_feat_size
     targs.obj_feat_size = cfg.pano.obj_feat_size
     tcfg = ConfigDict({
@@ -167,7 +168,7 @@ def bench_rollout(args):
                       world=world)
     ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
     agent = load_agent("r2r", targs, world, runner)
-    loader = Dataloader(ds, batch_size=args.batch or 8, shuffle=False)
+    loader = Dataloader(ds, batch_size=n_slots, shuffle=False)
 
     # warmup (compile) with one batched rollout
     batch = next(iter(loader))

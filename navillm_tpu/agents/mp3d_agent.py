@@ -478,7 +478,12 @@ class MP3DAgent:
             self._streaming_og(args, pad, n_real=len(batch))
 
         while any(sl.active for sl in slots):
-            active = [sl for sl in slots if sl.active]
+            # keep the device batch at a FIXED width: inactive slots are
+            # padded with the first active slot's state (results ignored)
+            # so shapes never change and nothing recompiles as the
+            # dataset drains
+            real = [sl for sl in slots if sl.active]
+            active = real + [real[0]] * (num_slots - len(real))
             obs = [sl.ob for sl in active]
             gmaps = [sl.gmap for sl in active]
             if self._prefetcher is not None:
@@ -546,7 +551,7 @@ class MP3DAgent:
                 a_t = logits.argmax(1)
 
             nav_vpids = gmap_in["gmap_vpids"]
-            for i, sl in enumerate(active):
+            for i, sl in enumerate(active[: len(real)]):
                 sl.history.append("<hist>")
                 sl.hist_vis.append(fuse_embeds[i, a_t[i]])
                 sl.t += 1

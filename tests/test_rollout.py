@@ -154,3 +154,43 @@ def test_scanqa_agent_train_and_validate(train_args, task_config, runner):
                            Dataloader(vds, 1, shuffle=False))
     assert len(preds) == 1
     assert isinstance(preds[0]["generated_sentences"][0], str)
+
+
+def test_sample_feedback_dagger(train_args, task_config, data_dir, runner,
+                                optim_cfg):
+    """DAgger: sampled actions + per-step loss still trains."""
+    args = _args(train_args, runner)
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=True, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size))
+    agent = load_agent("r2r", args, world, runner)
+    batch = _mp3d_batch(ds, n=2)
+    runner.zero_grads()
+    loss, traj = agent.rollout(args, "R2R", optim_cfg.Optim, batch,
+                               dataset=ds, feedback="sample", train_ml=1.0)
+    assert np.isfinite(loss) and loss > 0
+    grads = runner.take_grads()
+    total = sum(float(np.abs(np.asarray(g)).sum())
+                for g in jax.tree.leaves(grads))
+    assert total > 0
+    # sampled trajectories still start at the gt start
+    for s, item in zip(traj, batch["item"]):
+        assert s["path"][0][0] == item["path"][0]
+
+
+def test_enc_full_graph_false(train_args, task_config, data_dir, runner,
+                              optim_cfg):
+    """enc_full_graph=False: only unvisited nodes enter the gmap
+    (reference nav_gmap_variable else-branch, mp3d_agent.py:322-325)."""
+    args = _args(train_args, runner)
+    args.enc_full_graph = False
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size))
+    agent = load_agent("r2r", args, world, runner)
+    loader = Dataloader(ds, batch_size=2, shuffle=False)
+    preds = agent.validate("R2R", args, optim_cfg, loader, dataset=ds)
+    assert len(preds) == len(ds)
+    args.enc_full_graph = True
