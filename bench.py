@@ -185,6 +185,8 @@ def bench_rollout(args):
                                          dataset=ds)
         n_episodes += len(preds)
     dt = time.perf_counter() - t0
+    if args.timing:
+        print(agent.timer.report(), file=sys.stderr)
     v = n_episodes / dt
     return {"metric": "episodes/sec (streaming greedy eval, 1 chip)",
             "value": round(v, 3), "unit": "episodes/sec",
@@ -233,6 +235,8 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--seq", type=int, default=None)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--timing", action="store_true",
+                    help="print per-stage timer breakdown to stderr")
     args = ap.parse_args()
     fn = {"train_step": bench_train_step, "rollout": bench_rollout,
           "decode": bench_decode}[args.mode]

@@ -1,0 +1,121 @@
+"""Device-resident rollout memory: embeddings never leave HBM.
+
+The host-path rollout downloads panorama embeddings every step to feed
+the GraphMap and re-uploads them inside the navigation batch
+(pano [B,V,H] down + gmap [B,G,H] + vp [B,V,H] + hist [B,Hh,H] up per
+step ~ tens of MB). On TPU hosts this wastes PCIe/relay bandwidth; the
+SURVEY.md §7.1 mapping calls for graph memory to live on device.
+
+This module keeps three device buffers per episode batch:
+  mem_sum [B, M, H], mem_cnt [B, M]  — mean-pooled node embeddings
+      keyed by the episode graph's STABLE node index (insertion order,
+      sim/graph.py EpisodeGraph._idx), capacity M;
+  hist_buf [B, Hh, H]                — history (chosen fuse embeds).
+
+Per step the host uploads only integer bookkeeping (current-node id,
+candidate ids, gmap slot->node-id order, positions/masks/token arrays)
+and downloads only the [B, G] logits. Jitted ops:
+  memory_update: scatter the masked-average pano embed (rewrite) at the
+      current node + add candidate view embeds at unvisited nodes
+      (reference update_node_embed semantics, graph_utils.py:119-133);
+  nav step (infer/train): gather gmap embeds from memory, build
+      [stop]+pano local embeds, run forward_navigation, append the
+      chosen fuse embed to hist_buf — all in one compiled call.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import nav_model as NM
+
+
+def init_memory(batch: int, capacity: int, hist: int, hidden: int, dtype):
+    return {
+        "mem_sum": jnp.zeros((batch, capacity, hidden), dtype),
+        "mem_cnt": jnp.zeros((batch, capacity), jnp.int32),
+        "hist_buf": jnp.zeros((batch, hist, hidden), dtype),
+        "hist_cnt": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def memory_update(state, pano_embeds, pano_masks, cur_ids, cand_ids):
+    """cur_ids [B] (node id of current vp, -1 = skip/ended);
+    cand_ids [B, V] (node id for view j if it should accumulate, -1 = no).
+    """
+    mem_sum, mem_cnt = state["mem_sum"], state["mem_cnt"]
+    b, m, h = mem_sum.shape
+    bidx = jnp.arange(b)
+
+    denom = jnp.maximum(pano_masks.sum(1, keepdims=True), 1)
+    avg = (pano_embeds * pano_masks[..., None]).sum(1) / denom      # [B, H]
+    cur_valid = cur_ids >= 0
+    cur_safe = jnp.maximum(cur_ids, 0)
+    # rewrite semantics: sum <- avg, cnt <- 1 (only where valid)
+    new_sum = mem_sum.at[bidx, cur_safe].set(
+        jnp.where(cur_valid[:, None], avg.astype(mem_sum.dtype),
+                  mem_sum[bidx, cur_safe]))
+    new_cnt = mem_cnt.at[bidx, cur_safe].set(
+        jnp.where(cur_valid, 1, mem_cnt[bidx, cur_safe]))
+
+    cvalid = cand_ids >= 0
+    csafe = jnp.maximum(cand_ids, 0)
+    bgrid = jnp.broadcast_to(bidx[:, None], cand_ids.shape)
+    upd = jnp.where(cvalid[..., None], pano_embeds.astype(mem_sum.dtype), 0)
+    new_sum = new_sum.at[bgrid, csafe].add(upd)
+    new_cnt = new_cnt.at[bgrid, csafe].add(cvalid.astype(jnp.int32))
+    return {**state, "mem_sum": new_sum, "mem_cnt": new_cnt}
+
+
+def assemble_from_memory(state, slot_ids, pano_embeds):
+    """slot_ids [B, G] (stable node id per gmap slot, -1 empty) ->
+    gmap_img_embeds [B, G, H]; pano_embeds [B, V, H] ->
+    vp_img_embeds [B, V+1, H] with a zero stop row."""
+    mem_sum, mem_cnt = state["mem_sum"], state["mem_cnt"]
+    b, g = slot_ids.shape
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], slot_ids.shape)
+    safe = jnp.maximum(slot_ids, 0)
+    cnt = jnp.maximum(mem_cnt[bidx, safe], 1)[..., None]
+    gmap = jnp.where((slot_ids >= 0)[..., None],
+                     mem_sum[bidx, safe] / cnt, 0.0).astype(jnp.float32)
+    stop = jnp.zeros((b, 1, pano_embeds.shape[-1]), pano_embeds.dtype)
+    vp = jnp.concatenate([stop, pano_embeds], axis=1)
+    return gmap, vp
+
+
+def hist_append(state, fuse_embeds, a_t):
+    """Append fuse_embeds[b, a_t[b]] at position hist_cnt[b] (skip where
+    a_t < 0). hist capacity covers max action length by construction."""
+    hist_buf, hist_cnt = state["hist_buf"], state["hist_cnt"]
+    b, hh, h = hist_buf.shape
+    bidx = jnp.arange(b)
+    valid = a_t >= 0
+    slot = jnp.minimum(hist_cnt, hh - 1)
+    chosen = fuse_embeds[bidx, jnp.maximum(a_t, 0)]
+    new_buf = hist_buf.at[bidx, slot].set(
+        jnp.where(valid[:, None], chosen.astype(hist_buf.dtype),
+                  hist_buf[bidx, slot]))
+    new_cnt = hist_cnt + valid.astype(jnp.int32)
+    return {**state, "hist_buf": new_buf, "hist_cnt": new_cnt}
+
+
+def nav_step_from_memory(params, cfg, state, batch, pano_embeds):
+    """Fused device step: assemble from memory -> forward_navigation ->
+    append chosen-action history. Returns (logits, new_state).
+
+    batch carries everything EXCEPT gmap_img_embeds / vp_img_embeds /
+    hist_embeds, plus:
+      slot_ids [B, G]  — memory ids per gmap slot
+      a_t_greedy       — actions are chosen OUTSIDE (host needs the
+                          logits anyway); history append happens in the
+                          follow-up hist call to keep policy flexible.
+    """
+    gmap, vp = assemble_from_memory(state, batch["slot_ids"], pano_embeds)
+    full = dict(batch)
+    full["gmap_img_embeds"] = gmap
+    full["vp_img_embeds"] = vp
+    full["hist_embeds"] = state["hist_buf"]
+    out = NM.forward_navigation(params, cfg, full)
+    return out["fuse_logits"], out["fuse_embeds"]

@@ -37,6 +37,11 @@ from .runner import NavModelRunner, RolloutDims
 CLS_TOKEN_TEXT = "<cls_1>"
 
 
+def jnp_bool(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x, bool)
+
+
 def get_results(pred_results: Dict[str, dict], detailed_output=False):
     """Flatten per-episode results (reference mp3d_agent.py:54-77)."""
     out = []
@@ -163,12 +168,15 @@ class MP3DAgent:
                         "obj_lens": obj_lens, "obj_ids": obj_ids})
         return ret
 
-    def nav_gmap_inputs(self, obs, gmaps: List[GraphMap]) -> Dict[str, Any]:
+    def nav_gmap_inputs(self, obs, gmaps: List[GraphMap],
+                        fill_embeds: bool = True) -> Dict[str, Any]:
+        """fill_embeds=False skips the [B, G, H] node-embedding copy (the
+        device-memory path gathers embeddings on chip instead)."""
         G = self.dims.max_gmap_nodes
         H = self.runner.cfg.hidden_size
         b = len(obs)
         A = self.args.angle_feat_size
-        img = np.zeros((b, G, H), np.float32)
+        img = np.zeros((b, G, H), np.float32) if fill_embeds else None
         step_ids = np.zeros((b, G), np.int32)
         pos_fts = np.zeros((b, G, A + 3), np.float32)
         masks = np.zeros((b, G), bool)
@@ -192,9 +200,10 @@ class MP3DAgent:
             masks[i, :n] = True
             visited[i, :n] = vmask
             step_ids[i, :n] = [gmap.node_step_ids.get(vp, 0) for vp in vpids]
-            for k, vp in enumerate(vpids):
-                if k > 0 and gmap.has_node_embed(vp):
-                    img[i, k] = gmap.get_node_embed(vp)
+            if fill_embeds:
+                for k, vp in enumerate(vpids):
+                    if k > 0 and gmap.has_node_embed(vp):
+                        img[i, k] = gmap.get_node_embed(vp)
             pos_fts[i, :n] = gmap.get_pos_fts(obs[i]["viewpoint"], vpids,
                                               obs[i]["heading"],
                                               obs[i]["elevation"], A)
@@ -206,11 +215,17 @@ class MP3DAgent:
     def nav_vp_inputs(self, obs, gmaps, pano_embeds, pano_masks, cand_vpids
                       ) -> Dict[str, Any]:
         """[stop] + panorama views, with 14-dim pos features
-        (reference nav_vp_variable)."""
-        b, V, H = pano_embeds.shape
+        (reference nav_vp_variable). pano_embeds may be None (the
+        device-memory path prepends the stop row on chip); pano_masks is
+        always a host [B, V] bool array."""
+        b, V = pano_masks.shape
+        H = self.runner.cfg.hidden_size
         A = self.args.angle_feat_size
-        vp_img = np.zeros((b, V + 1, H), np.float32)
-        vp_img[:, 1:] = pano_embeds
+        if pano_embeds is not None:
+            vp_img = np.zeros((b, V + 1, H), np.float32)
+            vp_img[:, 1:] = pano_embeds
+        else:
+            vp_img = None
         masks = np.zeros((b, V + 1), bool)
         masks[:, 0] = True
         masks[:, 1:] = pano_masks
@@ -477,70 +492,125 @@ class MP3DAgent:
             pad = batch + [batch[-1]] * (num_slots - len(batch))
             self._streaming_og(args, pad, n_real=len(batch))
 
+        use_mem = getattr(self.runner, "device_memory", True)
+        mem_state = self.runner.memory_init(num_slots) if use_mem else None
+
         while any(sl.active for sl in slots):
-            # keep the device batch at a FIXED width: inactive slots are
-            # padded with the first active slot's state (results ignored)
-            # so shapes never change and nothing recompiles as the
-            # dataset drains
-            real = [sl for sl in slots if sl.active]
-            active = real + [real[0]] * (num_slots - len(real))
+            # FIXED slot->row binding: every slot occupies its batch row
+            # each iteration (inactive rows are stale and ignored), so
+            # device shapes and the memory buffers never shuffle
+            active = slots
+            real_mask = np.array([sl.active for sl in slots])
             obs = [sl.ob for sl in active]
             gmaps = [sl.gmap for sl in active]
             if self._prefetcher is not None:
-                self._prefetcher.prefetch_candidates(obs)
+                self._prefetcher.prefetch_candidates(
+                    [sl.ob for sl in slots if sl.active])
             for sl in active:
-                sl.gmap.node_step_ids[sl.ob["viewpoint"]] = sl.t + 1
+                if sl.active:
+                    sl.gmap.node_step_ids[sl.ob["viewpoint"]] = sl.t + 1
 
             with self.timer.stage("pano_assemble"):
                 pano_inputs = self.panorama_inputs(obs)
-            with self.timer.stage("pano_device"):
-                pano_out = self.runner.panorama(pano_inputs,
-                                                deterministic=True)
-            pano_embeds, pano_masks = pano_out["pano_embeds"], \
-                pano_out["pano_masks"]
-            denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
-            avg_pano = (pano_embeds * pano_masks[..., None]).sum(1) / denom
-            for i, sl in enumerate(active):
-                sl.gmap.update_node_embed(sl.ob["viewpoint"], avg_pano[i],
-                                          rewrite=True)
-                for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
-                    if not sl.gmap.visited(cvp):
-                        sl.gmap.update_node_embed(cvp, pano_embeds[i, j])
+                host_pano_masks = (
+                    np.arange(pano_inputs["view_img_fts"].shape[1])[None, :]
+                    < pano_inputs["view_lens"][:, None])
+
+            if use_mem:
+                with self.timer.stage("pano_device"):
+                    pano_embeds_dev, _ = self.runner.panorama_device(
+                        pano_inputs, deterministic=True)
+                # bookkeeping ids for the on-chip memory update
+                M = mem_state["mem_sum"].shape[1]
+                cur_ids = np.full(num_slots, -1, np.int32)
+                cand_ids = np.full(
+                    (num_slots, pano_inputs["view_img_fts"].shape[1]), -1,
+                    np.int32)
+                for i, sl in enumerate(active):
+                    if not sl.active:
+                        continue
+                    gidx = sl.gmap.graph.index
+                    cid = gidx.get(sl.ob["viewpoint"], -1)
+                    cur_ids[i] = cid if cid < M else -1
+                    for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
+                        if not sl.gmap.visited(cvp):
+                            nid = gidx.get(cvp, -1)
+                            if 0 <= nid < M:
+                                cand_ids[i, j] = nid
+                with self.timer.stage("mem_update"):
+                    mem_state = self.runner.memory_update(
+                        mem_state, pano_embeds_dev,
+                        jnp_bool(host_pano_masks), cur_ids, cand_ids)
+                pano_embeds_np = None
+            else:
+                with self.timer.stage("pano_device"):
+                    pano_out = self.runner.panorama(pano_inputs,
+                                                    deterministic=True)
+                pano_embeds_np = pano_out["pano_embeds"]
+                host_pano_masks = pano_out["pano_masks"]
+                denom = np.maximum(host_pano_masks.sum(1, keepdims=True), 1)
+                avg_pano = (pano_embeds_np * host_pano_masks[..., None]) \
+                    .sum(1) / denom
+                for i, sl in enumerate(active):
+                    if not sl.active:
+                        continue
+                    sl.gmap.update_node_embed(sl.ob["viewpoint"],
+                                              avg_pano[i], rewrite=True)
+                    for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
+                        if not sl.gmap.visited(cvp):
+                            sl.gmap.update_node_embed(cvp, pano_embeds_np[i, j])
 
             with self.timer.stage("nav_assemble"):
-                gmap_in = self.nav_gmap_inputs(obs, gmaps)
-                vp_in = self.nav_vp_inputs(obs, gmaps, pano_embeds,
-                                           pano_masks,
+                gmap_in = self.nav_gmap_inputs(obs, gmaps,
+                                               fill_embeds=not use_mem)
+                vp_in = self.nav_vp_inputs(obs, gmaps, pano_embeds_np,
+                                           host_pano_masks,
                                            pano_inputs["cand_vpids"])
                 match = self.local_match_slots(
                     gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
-                    width=vp_in["vp_img_embeds"].shape[1])
+                    width=host_pano_masks.shape[1] + 1)
                 order, prompts, _ = self.cand_order_and_prompts(
                     gmap_in, [sl.instruction for sl in active],
                     [sl.history for sl in active], validate=True)
                 tok_batch, cand_pos, hist_pos, cls_pos = \
                     self.runner.tokenize_with_positions(prompts)
             nav_batch = {
-                "gmap_img_embeds": gmap_in["gmap_img_embeds"],
                 "gmap_step_ids": gmap_in["gmap_step_ids"],
                 "gmap_pos_fts": gmap_in["gmap_pos_fts"],
                 "gmap_masks": gmap_in["gmap_masks"],
                 "gmap_visited_masks": gmap_in["gmap_visited_masks"],
-                "vp_img_embeds": vp_in["vp_img_embeds"],
                 "vp_pos_fts": vp_in["vp_pos_fts"],
                 "pano_masks": vp_in["pano_masks"],
                 "local_match_slot": match,
                 "cand_order": order,
                 "cand_positions": cand_pos,
                 "hist_positions": hist_pos,
-                "hist_embeds": self.hist_arrays(
-                    [sl.hist_vis for sl in active]),
                 "input_ids": tok_batch.input_ids,
                 "attention_mask": tok_batch.attention_mask,
                 "cls_pos": cls_pos,
             }
-            with self.timer.stage("nav_device"):
-                logits, fuse_embeds, _ = self.runner.navigation(nav_batch)
+            if use_mem:
+                M = mem_state["mem_sum"].shape[1]
+                slot_ids = np.full(gmap_in["gmap_masks"].shape, -1, np.int32)
+                for i, sl in enumerate(active):
+                    gidx = sl.gmap.graph.index
+                    for k, vp in enumerate(gmap_in["gmap_vpids"][i]):
+                        if k > 0 and vp is not None:
+                            nid = gidx.get(vp, -1)
+                            if 0 <= nid < M:
+                                slot_ids[i, k] = nid
+                nav_batch["slot_ids"] = slot_ids
+                with self.timer.stage("nav_device"):
+                    logits, fuse_dev = self.runner.navigation_from_memory(
+                        mem_state, nav_batch, pano_embeds_dev)
+                fuse_embeds = None
+            else:
+                nav_batch["gmap_img_embeds"] = gmap_in["gmap_img_embeds"]
+                nav_batch["vp_img_embeds"] = vp_in["vp_img_embeds"]
+                nav_batch["hist_embeds"] = self.hist_arrays(
+                    [sl.hist_vis for sl in active])
+                with self.timer.stage("nav_device"):
+                    logits, fuse_embeds, _ = self.runner.navigation(nav_batch)
 
             if feedback == "sample":
                 probs = _softmax(logits / max(args.temperature, 1e-6))
@@ -550,22 +620,40 @@ class MP3DAgent:
             else:
                 a_t = logits.argmax(1)
 
+            if use_mem:
+                a_t_masked = np.where(real_mask, a_t, -1).astype(np.int64)
+                with self.timer.stage("mem_update"):
+                    mem_state = self.runner.history_append(
+                        mem_state, fuse_dev, a_t_masked)
+
             nav_vpids = gmap_in["gmap_vpids"]
-            for i, sl in enumerate(active[: len(real)]):
+            reset_rows = np.zeros(num_slots, bool)
+            for i, sl in enumerate(active):
+                if not sl.active:
+                    continue
                 sl.history.append("<hist>")
-                sl.hist_vis.append(fuse_embeds[i, a_t[i]])
+                if not use_mem:
+                    sl.hist_vis.append(fuse_embeds[i, a_t[i]])
                 sl.t += 1
                 stop = (a_t[i] == 0) or gmap_in["no_vp_left"][i] \
                     or sl.t >= max_action_len
                 if stop:
                     if sl.data_type in ("soon", "reverie") and args.enable_og:
+                        if use_mem:
+                            buf = np.asarray(mem_state["hist_buf"][i])
+                            cnt = int(np.asarray(mem_state["hist_cnt"][i]))
+                            hist_vis = [buf[k] for k in
+                                        range(min(cnt, buf.shape[0]))]
+                        else:
+                            hist_vis = list(sl.hist_vis)
                         og_queue.append({
                             "ob": sl.ob, "history": list(sl.history),
-                            "hist_vis": list(sl.hist_vis),
+                            "hist_vis": hist_vis,
                             "instruction": sl.instruction,
                             "traj": sl.traj})
                     results[sl.traj["instr_id"]] = sl.traj
                     fill(sl)
+                    reset_rows[i] = True
                 else:
                     action = nav_vpids[i][a_t[i]]
                     with self.timer.stage("env_step"):
@@ -576,6 +664,9 @@ class MP3DAgent:
                                                 data_type=sl.data_type)[0]
                     self.update_scanvp_cands([sl.ob])
                     sl.gmap.update_graph(sl.ob)
+            if use_mem and reset_rows.any():
+                mem_state = self.runner.memory_reset_slots(mem_state,
+                                                           reset_rows)
             flush_og()
         flush_og(force=True)
         return get_results(results)

@@ -50,7 +50,8 @@ class RolloutDims:
 class NavModelRunner:
     def __init__(self, cfg: NM.NavModelConfig, params, tokenizer: NavTokenizer,
                  dims: RolloutDims = RolloutDims(), feat_dropout: float = 0.4,
-                 ignore_id: int = -100, seed: int = 0, mesh_plan=None):
+                 ignore_id: int = -100, seed: int = 0, mesh_plan=None,
+                 device_memory: bool = True):
         """mesh_plan: optional parallel.mesh.MeshPlan — params get their
         (data, model) shardings (LLM tensor-parallel over 'model', small
         modules replicated) and batch arrays shard their leading episode
@@ -67,6 +68,10 @@ class NavModelRunner:
         self._special_mask = jnp.asarray(tokenizer.special_logit_mask())
         self.grad_accum = None
         self.plan = mesh_plan
+        # device-resident rollout memory (agents/device_memory.py): graph
+        # node embeddings + history stay in HBM; per-step host traffic is
+        # integer bookkeeping + [B, G] logits only
+        self.device_memory = device_memory
         if mesh_plan is not None:
             from ..parallel.mesh import nav_param_specs, shard_params
             params = shard_params(params, nav_param_specs(cfg), mesh_plan)
@@ -141,6 +146,33 @@ class NavModelRunner:
             fuse, cand_masks = NM.fuse_gmap_local(params, cfg, batch)
             return fuse
 
+        # ---- device-resident rollout memory (agents/device_memory.py) ----
+        from . import device_memory as DM
+
+        @jax.jit
+        def mem_update_fn(state, pano_embeds, pano_masks, cur_ids, cand_ids):
+            return DM.memory_update(state, pano_embeds, pano_masks, cur_ids,
+                                    cand_ids)
+
+        @jax.jit
+        def mem_reset_fn(state, reset_mask):
+            z = reset_mask
+            return {
+                "mem_sum": jnp.where(z[:, None, None], 0, state["mem_sum"]),
+                "mem_cnt": jnp.where(z[:, None], 0, state["mem_cnt"]),
+                "hist_buf": jnp.where(z[:, None, None], 0, state["hist_buf"]),
+                "hist_cnt": jnp.where(z, 0, state["hist_cnt"]),
+            }
+
+        @jax.jit
+        def nav_mem_infer_fn(params, state, batch, pano_embeds):
+            return DM.nav_step_from_memory(params, cfg, state, batch,
+                                           pano_embeds)
+
+        @jax.jit
+        def hist_append_fn(state, fuse_embeds, a_t):
+            return DM.hist_append(state, fuse_embeds, a_t)
+
         @jax.jit
         def nav_infer_fn(params, batch):
             out = NM.forward_navigation(params, cfg, batch)
@@ -192,6 +224,10 @@ class NavModelRunner:
             return accum, loss, logits
 
         self._fuse_only_fn = fuse_only_fn
+        self._mem_update_fn = mem_update_fn
+        self._mem_reset_fn = mem_reset_fn
+        self._nav_mem_infer_fn = nav_mem_infer_fn
+        self._hist_append_fn = hist_append_fn
         self._gen_embeds_fn = gen_embeds_fn
         self._pano_fn = pano_fn
         self._pano_obj_fn = pano_obj_fn
@@ -257,6 +293,42 @@ class NavModelRunner:
                 self.params, self.grad_accum, dev, tgt, jnp.float32(coef))
             return np.asarray(logits), float(loss)
         return np.asarray(self._og_infer_fn(self.params, dev)), 0.0
+
+    # ---------- device-resident rollout memory API ---------------------- #
+    def memory_init(self, batch: int, capacity: int = 256):
+        from . import device_memory as DM
+        return DM.init_memory(batch, capacity, self.dims.max_hist,
+                              self.cfg.hidden_size, jnp.float32)
+
+    def panorama_device(self, pano_inputs: Dict[str, np.ndarray],
+                        deterministic: bool):
+        """Panorama encode; embeddings STAY on device (jax array)."""
+        out = self._pano_fn(self.params, self._next_rng(),
+                            jnp.asarray(pano_inputs["view_img_fts"]),
+                            jnp.asarray(pano_inputs["view_lens"]),
+                            jnp.asarray(pano_inputs["loc_fts"]),
+                            jnp.asarray(pano_inputs["nav_types"]),
+                            deterministic=deterministic)
+        return out["pano_embeds"], out["pano_masks"]
+
+    def memory_update(self, state, pano_embeds, pano_masks, cur_ids,
+                      cand_ids):
+        return self._mem_update_fn(state, pano_embeds, pano_masks,
+                                   jnp.asarray(cur_ids),
+                                   jnp.asarray(cand_ids))
+
+    def memory_reset_slots(self, state, reset_mask):
+        return self._mem_reset_fn(state, jnp.asarray(reset_mask))
+
+    def navigation_from_memory(self, state, batch: Dict[str, np.ndarray],
+                               pano_embeds):
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        logits, fuse = self._nav_mem_infer_fn(self.params, state, dev,
+                                              pano_embeds)
+        return np.asarray(logits), fuse
+
+    def history_append(self, state, fuse_embeds, a_t):
+        return self._hist_append_fn(state, fuse_embeds, jnp.asarray(a_t))
 
     def fuse_embeds_only(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
         """Graph/local fusion without the LLM — used by the fused

@@ -98,3 +98,31 @@ def test_streaming_reverie_og(train_args, task_config, data_dir, runner,
     assert all("pred_objid" in p for p in preds)
     avg, _ = ds.eval_metrics(preds, None, "REVERIE")
     assert "rgs" in avg
+
+
+def test_device_memory_matches_host_path(train_args, task_config, data_dir,
+                                         optim_cfg):
+    """Streaming eval with on-chip graph memory == host-memory path."""
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+
+    args = train_args
+    args.image_feat_size = cfg.pano.image_feat_size
+    args.obj_feat_size = cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
+
+    preds = {}
+    for dev_mem in (False, True):
+        runner = NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny(),
+                                device_memory=dev_mem)
+        agent = load_agent("r2r", args, world, runner)
+        out = agent.validate_streaming("R2R", args, optim_cfg,
+                                       Dataloader(ds, 2, shuffle=False),
+                                       dataset=ds)
+        preds[dev_mem] = {p["instr_id"]: p["trajectory"] for p in out}
+    assert preds[True] == preds[False]
