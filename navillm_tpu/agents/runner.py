@@ -302,7 +302,10 @@ class NavModelRunner:
 
     def panorama_device(self, pano_inputs: Dict[str, np.ndarray],
                         deterministic: bool):
-        """Panorama encode; embeddings STAY on device (jax array)."""
+        """Panorama encode; embeddings STAY on device (jax array).
+
+        (fp16 staging was tried for the upload and reverted: TPUs have
+        no native fp16, the conversion runs an emulated slow path.)"""
         out = self._pano_fn(self.params, self._next_rng(),
                             jnp.asarray(pano_inputs["view_img_fts"]),
                             jnp.asarray(pano_inputs["view_lens"]),
