@@ -35,8 +35,11 @@ class ConfigDict(dict):
             return type(v)(cls._wrap(x) for x in v)
         return v
 
+    def __setitem__(self, k, v):
+        super().__setitem__(k, self._wrap(v))
+
     def __setattr__(self, k, v):
-        self[k] = self._wrap(v)
+        self[k] = v
 
     def __getattr__(self, k):
         try:
