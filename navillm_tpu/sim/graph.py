@@ -192,6 +192,16 @@ class EpisodeGraph:
             self._mid = np.full((capacity, capacity), -1, dtype=np.int32)
             self._visited = np.zeros(capacity, dtype=bool)
 
+    def __del__(self):
+        # return the native handle to the reuse pool (episode graphs are
+        # per-episode; without recycling, long runs leak cap^2 buffers)
+        lib, h = getattr(self, "_lib", None), getattr(self, "_h", None)
+        if lib is not None and h is not None:
+            try:
+                lib.ep_free(h)
+            except Exception:
+                pass
+
     def _idx(self, vp: str) -> int:
         if vp not in self.index:
             if len(self.ids) >= self.capacity:

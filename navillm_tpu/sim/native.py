@@ -62,6 +62,8 @@ def load_library():
 
         lib.ep_create.restype = c.c_int64
         lib.ep_create.argtypes = [c.c_int32]
+        lib.ep_free.restype = None
+        lib.ep_free.argtypes = [c.c_int64]
         lib.ep_reset.restype = None
         lib.ep_reset.argtypes = [c.c_int64]
         lib.ep_add_edge.restype = None

@@ -40,6 +40,7 @@ struct EpisodeGraph {
 
 std::vector<ScanGraph*> g_scans;
 std::vector<EpisodeGraph*> g_eps;
+std::vector<int64_t> g_ep_free;   // recycled EpisodeGraph handles
 
 void dijkstra(const ScanGraph& g, int src, double* dist, int32_t* parent) {
   std::vector<uint8_t> done(g.n, 0);
@@ -65,6 +66,8 @@ void dijkstra(const ScanGraph& g, int src, double* dist, int32_t* parent) {
 }  // namespace
 
 extern "C" {
+
+void ep_reset(int64_t h);   // fwd decl (used by ep_create's recycling)
 
 // ---------------------------------------------------------------- ScanGraph
 
@@ -137,6 +140,17 @@ void ns_scan_distances(int64_t h, int32_t k, const int32_t* a,
 // ------------------------------------------------------------- EpisodeGraph
 
 int64_t ep_create(int32_t cap) {
+  // recycle a freed slot with matching capacity when available: episode
+  // graphs are created per rollout episode, so without reuse a long
+  // training run leaks cap^2 * 12 bytes per episode
+  if (!g_ep_free.empty()) {
+    int64_t h = g_ep_free.back();
+    if (g_eps[h]->cap == cap) {
+      g_ep_free.pop_back();
+      ep_reset(h);
+      return h;
+    }
+  }
   auto* e = new EpisodeGraph();
   e->cap = cap;
   e->dist.assign((size_t)cap * cap, INF);
@@ -146,6 +160,8 @@ int64_t ep_create(int32_t cap) {
   g_eps.push_back(e);
   return (int64_t)g_eps.size() - 1;
 }
+
+void ep_free(int64_t h) { g_ep_free.push_back(h); }
 
 void ep_reset(int64_t h) {
   auto& e = *g_eps[h];
