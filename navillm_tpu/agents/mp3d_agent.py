@@ -478,8 +478,12 @@ class MP3DAgent:
         slots = []
         for _ in range(num_slots):
             sl = Slot()
-            fill(sl)
-            slots.append(sl)
+            if fill(sl):
+                slots.append(sl)
+        if not slots:
+            return []
+        # datasets smaller than the slot count shrink the (fixed) width
+        num_slots = len(slots)
         if self._prefetcher is None and dataset is not None \
                 and getattr(dataset, "feat_db", None) is not None:
             self._prefetcher = FeaturePrefetcher(dataset.feat_db)
