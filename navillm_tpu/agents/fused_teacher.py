@@ -130,8 +130,13 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         pano_cat.update({"obj_img_fts": cat("obj_img_fts"),
                          "obj_loc_fts": cat("obj_loc_fts"),
                          "obj_lens": cat("obj_lens")})
+    # one rng for the whole batched panorama: the final loss jit
+    # recomputes this panorama with the same rng so its params get
+    # gradients (values identical, now differentiable)
+    pano_rng = agent.runner._next_rng()
     with agent.timer.stage("pano_device"):
-        pano_out = agent.runner.panorama(pano_cat, deterministic=False)
+        pano_out = agent.runner.panorama(pano_cat, deterministic=False,
+                                         rng=pano_rng)
     pano_embeds_all = pano_out["pano_embeds"].reshape(T, B, *pano_out[
         "pano_embeds"].shape[1:])
     pano_masks_all = pano_out["pano_masks"].reshape(T, B, -1)
@@ -266,9 +271,10 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     })
     targets = np.concatenate([s["targets"] for s in steps], 0)
     coef = train_ml / B / args.gradient_accumulation_step
+    del nav_batch["vp_img_embeds"]
     with agent.timer.stage("nav_device"):
-        _, _, ml_loss = agent.runner.navigation(
-            nav_batch, targets=targets, coef=coef, train=True)
+        _, _, _, _, ml_loss = agent.runner.pano_navigation_train(
+            pano_cat, pano_rng, nav_batch, targets, coef)
 
     # ------------- sub-task heads ----------------------------------------
     final = steps[-1]

@@ -766,11 +766,16 @@ class MP3DAgent:
                 self._prefetcher.prefetch_candidates(obs)
 
             # -- panorama encode + graph memory update --
+            # training recomputes the panorama INSIDE the loss jit with
+            # this same rng so its parameters receive gradients (the
+            # host copy here only feeds the detached graph memory)
+            step_rng = self.runner._next_rng()
             with self.timer.stage("pano_assemble"):
                 pano_inputs = self.panorama_inputs(obs)
             with self.timer.stage("pano_device"):
                 pano_out = self.runner.panorama(pano_inputs,
-                                                deterministic=not training)
+                                                deterministic=not training,
+                                                rng=step_rng)
             pano_embeds = pano_out["pano_embeds"]     # [B, V, H] numpy
             pano_masks = pano_out["pano_masks"]
             denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
@@ -827,9 +832,16 @@ class MP3DAgent:
             coef = (train_ml or 0.0) / batch_size / \
                 args.gradient_accumulation_step
             with self.timer.stage("nav_device"):
-                logits, fuse_embeds, step_loss = self.runner.navigation(
-                    nav_batch, targets=nav_targets, coef=coef,
-                    train=training)
+                if training:
+                    del nav_batch["vp_img_embeds"]
+                    logits, fuse_embeds, _, _, step_loss = \
+                        self.runner.pano_navigation_train(
+                            pano_inputs, step_rng, nav_batch, nav_targets,
+                            coef)
+                else:
+                    logits, fuse_embeds, step_loss = self.runner.navigation(
+                        nav_batch, targets=nav_targets, coef=coef,
+                        train=training)
             ml_loss += step_loss
 
             # -- action selection --
@@ -935,13 +947,15 @@ class MP3DAgent:
                                history, hist_vis, pano_inputs, traj,
                                batch_size, validate, training):
         pano_in = self.panorama_inputs(obs)
-        pano_out = self.runner.panorama(pano_in, deterministic=not training)
+        og_rng = self.runner._next_rng()
         H = self.runner.cfg.hidden_size
         O = self.dims.max_objects
-        if "obj_embeds" in pano_out:
-            obj_embeds = pano_out["obj_embeds"]
-            obj_masks = pano_out["obj_masks"]
-            obj_loc = pano_out["obj_loc_fts"]
+        has_obj = "obj_img_fts" in pano_in and self.runner.cfg.pano.use_obj
+        if has_obj:
+            obj_masks = (np.arange(O)[None, :]
+                         < pano_in["obj_lens"][:, None])
+            obj_loc = pano_in["obj_loc_fts"]
+            obj_embeds = None      # training: in-jit; eval: computed below
         else:
             obj_embeds = np.zeros((batch_size, O, H), np.float32)
             obj_masks = np.zeros((batch_size, O), bool)
@@ -969,9 +983,18 @@ class MP3DAgent:
             targets = self.teacher_object(obs)
             coef = args.obj_loss_coef / batch_size / \
                 args.gradient_accumulation_step
-            obj_logits, loss = self.runner.object_grounding(
-                og_batch, targets=targets, coef=coef, train=True)
+            if has_obj:
+                del og_batch["obj_embeds"]
+                obj_logits, loss = self.runner.pano_og_train(
+                    pano_in, og_rng, og_batch, targets, coef)
+            else:
+                obj_logits, loss = self.runner.object_grounding(
+                    og_batch, targets=targets, coef=coef, train=True)
         else:
+            if has_obj:
+                pano_out = self.runner.panorama(pano_in, deterministic=True,
+                                                rng=og_rng)
+                og_batch["obj_embeds"] = pano_out["obj_embeds"]
             obj_logits, _ = self.runner.object_grounding(og_batch)
         for i in range(batch_size):
             objids = obs[i]["obj_ids"]
@@ -992,11 +1015,12 @@ class MP3DAgent:
         + teacher-forced loss (train) or constrained decode (eval)."""
         pano_in = self.panorama_inputs(obs, with_objects=False,
                                        twelve_views=True)
-        pano_out = self.runner.panorama(pano_in, deterministic=not training)
-        pano_embeds = pano_out["pano_embeds"]     # [B, V, H]
+        gen_rng = self.runner._next_rng()
         b = len(obs)
+        host_masks = (np.arange(pano_in["view_img_fts"].shape[1])[None, :]
+                      < pano_in["view_lens"][:, None])
         # nav-type==1 views are a contiguous prefix: 12 horizon views
-        nav_mask = (pano_in["nav_types"] == 1) & pano_out["pano_masks"]
+        nav_mask = (pano_in["nav_types"] == 1) & host_masks
         cand_counts = nav_mask.sum(1)
         C = int(cand_counts.max())
         prompts = [self.get_prompt(mode, instruction=instructions[i],
@@ -1013,7 +1037,7 @@ class MP3DAgent:
         gen_batch = {
             "input_ids": tok_batch.input_ids,
             "attention_mask": tok_batch.attention_mask,
-            "vp_img_embeds": pano_embeds,
+            "vp_img_embeds": None,   # training: recomputed in-jit; eval: set below
             "vp_masks": nav_mask,
             "cand_positions": cand_pos,
             "hist_positions": hist_pos,
@@ -1023,9 +1047,15 @@ class MP3DAgent:
             labels = tok_batch.input_ids.astype(np.int64).copy()
             labels[tok_batch.token_type_ids == 0] = self.args.ignoreid
             gen_batch["labels"] = labels
+            del gen_batch["vp_img_embeds"]
             coef = args.gen_loss_coef / b / args.gradient_accumulation_step
-            return self.runner.generation(gen_batch, coef=coef, train=True)
+            return self.runner.pano_generation_train(pano_in, gen_rng,
+                                                     gen_batch, coef)
         # eval: constrained / free decode
+        pano_out = self.runner.panorama(pano_in, deterministic=True,
+                                        rng=gen_rng)
+        pano_embeds = pano_out["pano_embeds"]
+        gen_batch["vp_img_embeds"] = pano_embeds
         emb = self.runner.gen_embeds(pano_embeds, nav_mask)
         inj_pos = np.concatenate([cand_pos, hist_pos], 1)
         inj_emb = np.concatenate([emb[:, : cand_pos.shape[1]],

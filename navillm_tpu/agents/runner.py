@@ -101,45 +101,98 @@ class NavModelRunner:
     def _build_fns(self):
         cfg = self.cfg
         ignore_id = self.ignore_id
+        feat_dropout = self.feat_dropout
+
+        def pano_apply(params, rng, pano_in, deterministic):
+            """Feature dropout + panorama forward. Deterministic given
+            (params, rng): training jits recompute it inside the loss so
+            panorama gradients flow (the reference trains ImageEmbeddings
+            through the nav/gen/og losses via the local branch)."""
+            view = pano_in["view_img_fts"]
+            obj = pano_in.get("obj_img_fts")
+            if not deterministic:
+                rng, d1, d2 = jax.random.split(rng, 3)
+                keep = jax.random.bernoulli(d1, 1.0 - feat_dropout,
+                                            view.shape)
+                view = jnp.where(keep, view / (1 - feat_dropout), 0)
+                if obj is not None:
+                    keep_o = jax.random.bernoulli(d2, 1.0 - feat_dropout,
+                                                  obj.shape)
+                    obj = jnp.where(keep_o, obj / (1 - feat_dropout), 0)
+            kw = {}
+            if obj is not None:
+                kw = dict(obj_img_fts=obj, obj_lens=pano_in["obj_lens"],
+                          obj_loc_fts=pano_in["obj_loc_fts"])
+            return forward_panorama(params["pano"], cfg.pano, view,
+                                    pano_in["view_lens"],
+                                    loc_fts=pano_in["loc_fts"],
+                                    nav_types=pano_in["nav_types"], rng=rng,
+                                    deterministic=deterministic, **kw)
+
+        self._pano_apply = pano_apply
+
+        @functools.partial(jax.jit, static_argnames=("deterministic",))
+        def pano_dict_fn(params, rng, pano_in, deterministic):
+            return pano_apply(params, rng, pano_in, deterministic)
 
         @functools.partial(jax.jit, static_argnames=("deterministic",))
         def pano_fn(params, rng, view_img_fts, view_lens, loc_fts, nav_types,
                     deterministic):
-            if not deterministic:
-                rng, drop = jax.random.split(rng)
-                keep = jax.random.bernoulli(drop, 1.0 - self.feat_dropout,
-                                            view_img_fts.shape)
-                view_img_fts = jnp.where(keep,
-                                         view_img_fts / (1 - self.feat_dropout),
-                                         0)
-            return forward_panorama(params["pano"], cfg.pano, view_img_fts,
-                                    view_lens, loc_fts=loc_fts,
-                                    nav_types=nav_types, rng=rng,
-                                    deterministic=deterministic)
+            return pano_apply(params, rng,
+                              {"view_img_fts": view_img_fts,
+                               "view_lens": view_lens, "loc_fts": loc_fts,
+                               "nav_types": nav_types}, deterministic)
 
-        @functools.partial(jax.jit, static_argnames=("deterministic",))
-        def pano_obj_fn(params, rng, view_img_fts, view_lens, loc_fts,
-                        nav_types, obj_img_fts, obj_lens, obj_loc_fts,
-                        deterministic):
-            if not deterministic:
-                rng, d1, d2 = jax.random.split(rng, 3)
-                keep = jax.random.bernoulli(d1, 1.0 - self.feat_dropout,
-                                            view_img_fts.shape)
-                view_img_fts = jnp.where(keep,
-                                         view_img_fts / (1 - self.feat_dropout),
-                                         0)
-                keep_o = jax.random.bernoulli(d2, 1.0 - self.feat_dropout,
-                                              obj_img_fts.shape)
-                obj_img_fts = jnp.where(keep_o,
-                                        obj_img_fts / (1 - self.feat_dropout),
-                                        0)
-            return forward_panorama(params["pano"], cfg.pano, view_img_fts,
-                                    view_lens, loc_fts=loc_fts,
-                                    nav_types=nav_types,
-                                    obj_img_fts=obj_img_fts,
-                                    obj_lens=obj_lens,
-                                    obj_loc_fts=obj_loc_fts, rng=rng,
-                                    deterministic=deterministic)
+        @jax.jit
+        def pano_nav_train_fn(params, accum, rng, pano_in, batch, targets,
+                              coef):
+            def loss_fn(p):
+                po = pano_apply(p, rng, pano_in, False)
+                pe = po["pano_embeds"]
+                stop = jnp.zeros((pe.shape[0], 1, pe.shape[2]), pe.dtype)
+                full = dict(batch)
+                full["vp_img_embeds"] = jnp.concatenate([stop, pe], axis=1)
+                out = NM.forward_navigation(p, cfg, full)
+                loss = NM.navigation_loss(out["fuse_logits"], targets,
+                                          ignore_id) * coef
+                return loss, (out["fuse_logits"], out["fuse_embeds"],
+                              jax.lax.stop_gradient(pe),
+                              jax.lax.stop_gradient(po["pano_masks"]))
+            (loss, aux), grads = jax.value_and_grad(loss_fn,
+                                                    has_aux=True)(params)
+            accum = jax.tree.map(jnp.add, accum, grads)
+            logits, fuse, pe, pm = aux
+            return accum, loss, logits, fuse, pe, pm
+
+        @jax.jit
+        def pano_gen_train_fn(params, accum, rng, pano_in, batch, coef):
+            def loss_fn(p):
+                po = pano_apply(p, rng, pano_in, False)
+                full = dict(batch)
+                full["vp_img_embeds"] = po["pano_embeds"]
+                return NM.forward_generation_loss(p, cfg, full)["loss"] * coef
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            accum = jax.tree.map(jnp.add, accum, grads)
+            return accum, loss
+
+        @jax.jit
+        def pano_og_train_fn(params, accum, rng, pano_in, batch, targets,
+                             coef):
+            # requires object inputs in pano_in (cfg.pano.use_obj) so the
+            # obj_projector trains through the OG loss; the no-objects
+            # case goes through og_train_fn with zero embeds
+            def loss_fn(p):
+                po = pano_apply(p, rng, pano_in, False)
+                full = dict(batch)
+                full["obj_embeds"] = po["obj_embeds"]
+                out = NM.forward_object_grounding(p, cfg, full)
+                loss = NM.navigation_loss(out["obj_logits"], targets,
+                                          ignore_id) * coef
+                return loss, out["obj_logits"]
+            (loss, logits), grads = jax.value_and_grad(loss_fn,
+                                                       has_aux=True)(params)
+            accum = jax.tree.map(jnp.add, accum, grads)
+            return accum, loss, logits
 
         @jax.jit
         def fuse_only_fn(params, batch):
@@ -223,6 +276,10 @@ class NavModelRunner:
             accum = jax.tree.map(jnp.add, accum, grads)
             return accum, loss, logits
 
+        self._pano_dict_fn = pano_dict_fn
+        self._pano_nav_train_fn = pano_nav_train_fn
+        self._pano_gen_train_fn = pano_gen_train_fn
+        self._pano_og_train_fn = pano_og_train_fn
         self._fuse_only_fn = fuse_only_fn
         self._mem_update_fn = mem_update_fn
         self._mem_reset_fn = mem_reset_fn
@@ -230,7 +287,6 @@ class NavModelRunner:
         self._hist_append_fn = hist_append_fn
         self._gen_embeds_fn = gen_embeds_fn
         self._pano_fn = pano_fn
-        self._pano_obj_fn = pano_obj_fn
         self._nav_infer_fn = nav_infer_fn
         self._nav_train_fn = nav_train_fn
         self._gen_loss_fn = gen_loss_fn
@@ -239,22 +295,53 @@ class NavModelRunner:
         self._og_train_fn = og_train_fn
 
     # ------------------------------------------------------------------ #
+    PANO_KEYS = ("view_img_fts", "view_lens", "loc_fts", "nav_types",
+                 "obj_img_fts", "obj_lens", "obj_loc_fts")
+
+    def _pano_dev_inputs(self, pano_inputs):
+        return {k: jnp.asarray(v) for k, v in pano_inputs.items()
+                if k in self.PANO_KEYS}
+
     def panorama(self, pano_inputs: Dict[str, np.ndarray],
-                 deterministic: bool) -> Dict[str, np.ndarray]:
-        args = (self.params, self._next_rng(),
-                jnp.asarray(pano_inputs["view_img_fts"]),
-                jnp.asarray(pano_inputs["view_lens"]),
-                jnp.asarray(pano_inputs["loc_fts"]),
-                jnp.asarray(pano_inputs["nav_types"]))
-        if "obj_img_fts" in pano_inputs:
-            out = self._pano_obj_fn(*args,
-                                    jnp.asarray(pano_inputs["obj_img_fts"]),
-                                    jnp.asarray(pano_inputs["obj_lens"]),
-                                    jnp.asarray(pano_inputs["obj_loc_fts"]),
-                                    deterministic=deterministic)
-        else:
-            out = self._pano_fn(*args, deterministic=deterministic)
+                 deterministic: bool, rng=None) -> Dict[str, np.ndarray]:
+        rng = rng if rng is not None else self._next_rng()
+        out = self._pano_dict_fn(self.params, rng,
+                                 self._pano_dev_inputs(pano_inputs),
+                                 deterministic=deterministic)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def pano_navigation_train(self, pano_inputs, rng, batch, targets,
+                              coef: float):
+        """Fused pano + navigation loss + grads: panorama recomputed
+        inside the loss with `rng` so its params receive gradients.
+        Returns (logits, fuse_embeds, pano_embeds, pano_masks, loss)."""
+        assert self.grad_accum is not None
+        dev = self._put_batch(batch)
+        tgt = self._put_batch({"t": targets})["t"]
+        self.grad_accum, loss, logits, fuse, pe, pm = self._pano_nav_train_fn(
+            self.params, self.grad_accum, rng,
+            self._pano_dev_inputs(pano_inputs), dev, tgt, jnp.float32(coef))
+        return (np.asarray(logits), np.asarray(fuse), np.asarray(pe),
+                np.asarray(pm), float(loss))
+
+    def pano_generation_train(self, pano_inputs, rng, batch, coef: float
+                              ) -> float:
+        assert self.grad_accum is not None
+        dev = self._put_batch(batch)
+        dev["special_token_mask"] = self._special_mask
+        self.grad_accum, loss = self._pano_gen_train_fn(
+            self.params, self.grad_accum, rng,
+            self._pano_dev_inputs(pano_inputs), dev, jnp.float32(coef))
+        return float(loss)
+
+    def pano_og_train(self, pano_inputs, rng, batch, targets, coef: float):
+        assert self.grad_accum is not None
+        dev = self._put_batch(batch)
+        tgt = self._put_batch({"t": targets})["t"]
+        self.grad_accum, loss, logits = self._pano_og_train_fn(
+            self.params, self.grad_accum, rng,
+            self._pano_dev_inputs(pano_inputs), dev, tgt, jnp.float32(coef))
+        return np.asarray(logits), float(loss)
 
     def navigation(self, batch: Dict[str, np.ndarray],
                    targets: Optional[np.ndarray] = None,
