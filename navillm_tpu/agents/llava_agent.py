@@ -61,10 +61,14 @@ class LLaVAAgent:
         prompts = self.prepare_prompts(batch)
         answers = [a[0] for a in batch["answers"]]
         pano_in = self._pano_batch(batch)
-        pano_out = self.runner.panorama(pano_in, deterministic=False)
+        # pano is recomputed inside the loss jit so its params train
+        # (see runner.pano_generation_train)
+        gen_rng = self.runner._next_rng()
+        host_masks = (np.arange(pano_in["view_img_fts"].shape[1])[None, :]
+                      < pano_in["view_lens"][:, None])
         texts = [[p, a + self.runner.tok.eos_token]
                  for p, a in zip(prompts, answers)]
-        C = int(pano_out["pano_masks"].sum(1).max())
+        C = int(host_masks.sum(1).max())
         tok_batch, cand_pos, hist_pos, _ = \
             self.runner.tokenize_with_positions(texts, max_cands=max(C, 1),
                                                 max_hist=1)
@@ -75,16 +79,15 @@ class LLaVAAgent:
             "input_ids": tok_batch.input_ids,
             "attention_mask": tok_batch.attention_mask,
             "labels": labels,
-            "vp_img_embeds": pano_out["pano_embeds"],
-            "vp_masks": pano_out["pano_masks"],
+            "vp_masks": host_masks,
             "cand_positions": cand_pos,
             "hist_positions": hist_pos,
             "hist_embeds": np.zeros(
                 (b, 1, self.runner.cfg.hidden_size), np.float32),
         }
-        loss = self.runner.generation(
-            gen_batch, coef=loss_coef / args.gradient_accumulation_step,
-            train=True)
+        loss = self.runner.pano_generation_train(
+            pano_in, gen_rng, gen_batch,
+            coef=loss_coef / args.gradient_accumulation_step)
         return loss * args.gradient_accumulation_step
 
     def validate(self, name, args, config, loader, dataset=None, **kwargs):
