@@ -137,7 +137,7 @@ def bench_rollout(args):
                              cols=8)
     rng = np.random.RandomState(0)
     items = []
-    n_slots = args.batch or 8
+    n_slots = args.batch or 16
     for pid in range(max(32, 4 * n_slots)):   # 4x slots so refill engages
         r0, c0 = rng.randint(0, 8, 2)
         r1, c1 = rng.randint(0, 8, 2)
