@@ -752,6 +752,11 @@ class MP3DAgent:
         hist_vis: List[List[np.ndarray]] = [[] for _ in range(batch_size)]
         ml_loss = 0.0
         flag = False
+        # training with on-chip memory: one fused jit per step
+        use_mem_train = training and getattr(self.runner, "device_memory",
+                                             True)
+        mem_state = self.runner.memory_init(batch_size) if use_mem_train \
+            else None
 
         for t in range(max_action_len):
             if ended.all() or t == max_action_len - 1:
@@ -772,55 +777,81 @@ class MP3DAgent:
             step_rng = self.runner._next_rng()
             with self.timer.stage("pano_assemble"):
                 pano_inputs = self.panorama_inputs(obs)
-            with self.timer.stage("pano_device"):
-                pano_out = self.runner.panorama(pano_inputs,
-                                                deterministic=not training,
-                                                rng=step_rng)
-            pano_embeds = pano_out["pano_embeds"]     # [B, V, H] numpy
-            pano_masks = pano_out["pano_masks"]
-            denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
-            avg_pano = (pano_embeds * pano_masks[..., None]).sum(1) / denom
-            for i, gmap in enumerate(gmaps):
-                if ended[i]:
-                    continue
-                gmap.update_node_embed(obs[i]["viewpoint"], avg_pano[i],
-                                       rewrite=True)
-                for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
-                    if not gmap.visited(cvp):
-                        gmap.update_node_embed(cvp, pano_embeds[i, j])
+            if use_mem_train:
+                # memory updates happen inside the fused train jit; here
+                # only the integer bookkeeping is prepared
+                pano_embeds = None
+                pano_masks = (
+                    np.arange(pano_inputs["view_img_fts"].shape[1])[None, :]
+                    < pano_inputs["view_lens"][:, None])
+                M = mem_state["mem_sum"].shape[1]
+                cur_ids = np.full(batch_size, -1, np.int32)
+                cand_ids = np.full(
+                    (batch_size, pano_inputs["view_img_fts"].shape[1]), -1,
+                    np.int32)
+                for i, gmap in enumerate(gmaps):
+                    if ended[i]:
+                        continue
+                    gidx = gmap.graph.index
+                    cid = gidx.get(obs[i]["viewpoint"], -1)
+                    cur_ids[i] = cid if cid < M else -1
+                    for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
+                        if not gmap.visited(cvp):
+                            nid = gidx.get(cvp, -1)
+                            if 0 <= nid < M:
+                                cand_ids[i, j] = nid
+            else:
+                with self.timer.stage("pano_device"):
+                    pano_out = self.runner.panorama(
+                        pano_inputs, deterministic=not training,
+                        rng=step_rng)
+                pano_embeds = pano_out["pano_embeds"]     # [B, V, H] numpy
+                pano_masks = pano_out["pano_masks"]
+                denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
+                avg_pano = (pano_embeds * pano_masks[..., None]).sum(1) / denom
+                for i, gmap in enumerate(gmaps):
+                    if ended[i]:
+                        continue
+                    gmap.update_node_embed(obs[i]["viewpoint"], avg_pano[i],
+                                           rewrite=True)
+                    for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
+                        if not gmap.visited(cvp):
+                            gmap.update_node_embed(cvp, pano_embeds[i, j])
 
             # -- assemble navigation batch --
             with self.timer.stage("nav_assemble"):
-                gmap_in = self.nav_gmap_inputs(obs, gmaps)
+                gmap_in = self.nav_gmap_inputs(obs, gmaps,
+                                               fill_embeds=not use_mem_train)
             with self.timer.stage("nav_assemble"):
                 vp_in = self.nav_vp_inputs(obs, gmaps, pano_embeds,
                                            pano_masks,
                                            pano_inputs["cand_vpids"])
                 match = self.local_match_slots(
                     gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
-                    width=vp_in["vp_img_embeds"].shape[1])
+                    width=pano_masks.shape[1] + 1)
                 order, prompts, cand_nums = self.cand_order_and_prompts(
                     gmap_in, instructions, history, validate)
                 tok_batch, cand_pos, hist_pos, cls_pos = \
                     self.runner.tokenize_with_positions(prompts)
             nav_batch = {
-                "gmap_img_embeds": gmap_in["gmap_img_embeds"],
                 "gmap_step_ids": gmap_in["gmap_step_ids"],
                 "gmap_pos_fts": gmap_in["gmap_pos_fts"],
                 "gmap_masks": gmap_in["gmap_masks"],
                 "gmap_visited_masks": gmap_in["gmap_visited_masks"],
-                "vp_img_embeds": vp_in["vp_img_embeds"],
                 "vp_pos_fts": vp_in["vp_pos_fts"],
                 "pano_masks": vp_in["pano_masks"],
                 "local_match_slot": match,
                 "cand_order": order,
                 "cand_positions": cand_pos,
                 "hist_positions": hist_pos,
-                "hist_embeds": self.hist_arrays(hist_vis),
                 "input_ids": tok_batch.input_ids,
                 "attention_mask": tok_batch.attention_mask,
                 "cls_pos": cls_pos,
             }
+            if not use_mem_train:
+                nav_batch["gmap_img_embeds"] = gmap_in["gmap_img_embeds"]
+                nav_batch["vp_img_embeds"] = vp_in["vp_img_embeds"]
+                nav_batch["hist_embeds"] = self.hist_arrays(hist_vis)
 
             nav_vpids = gmap_in["gmap_vpids"]
             nav_targets = None
@@ -832,7 +863,26 @@ class MP3DAgent:
             coef = (train_ml or 0.0) / batch_size / \
                 args.gradient_accumulation_step
             with self.timer.stage("nav_device"):
-                if training:
+                if use_mem_train:
+                    nav_batch["cur_ids"] = cur_ids
+                    nav_batch["cand_ids"] = cand_ids
+                    M = mem_state["mem_sum"].shape[1]
+                    slot_ids = np.full(gmap_in["gmap_masks"].shape, -1,
+                                       np.int32)
+                    for i, gmap in enumerate(gmaps):
+                        gidx = gmap.graph.index
+                        for k, vp in enumerate(gmap_in["gmap_vpids"][i]):
+                            if k > 0 and vp is not None:
+                                nid = gidx.get(vp, -1)
+                                if 0 <= nid < M:
+                                    slot_ids[i, k] = nid
+                    nav_batch["slot_ids"] = slot_ids
+                    mem_state, logits, fuse_dev, step_loss = \
+                        self.runner.pano_mem_navigation_train(
+                            mem_state, step_rng, pano_inputs, nav_batch,
+                            nav_targets, coef)
+                    fuse_embeds = None
+                elif training:
                     del nav_batch["vp_img_embeds"]
                     logits, fuse_embeds, _, _, step_loss = \
                         self.runner.pano_navigation_train(
@@ -858,11 +908,18 @@ class MP3DAgent:
             else:
                 raise NotImplementedError(feedback)
 
-            for i in range(batch_size):
-                if a_t[i] == self.args.ignoreid:
-                    continue
-                history[i].append("<hist>")
-                hist_vis[i].append(fuse_embeds[i, a_t[i]])
+            if use_mem_train:
+                mem_state = self.runner.history_append(
+                    mem_state, fuse_dev, a_t.astype(np.int64))
+                for i in range(batch_size):
+                    if a_t[i] != self.args.ignoreid:
+                        history[i].append("<hist>")
+            else:
+                for i in range(batch_size):
+                    if a_t[i] == self.args.ignoreid:
+                        continue
+                    history[i].append("<hist>")
+                    hist_vis[i].append(fuse_embeds[i, a_t[i]])
 
             if not validate:
                 assert feedback in ("teacher", "sample")
@@ -871,6 +928,13 @@ class MP3DAgent:
                 a_t_stop = (a_t == 0)
 
             # -- sub-task heads on the final step --
+            if use_mem_train and flag:
+                # materialize history embeds for the generation/OG heads
+                buf = np.asarray(mem_state["hist_buf"])
+                cnt = np.asarray(mem_state["hist_cnt"])
+                hist_vis = [[buf[i, k] for k in
+                             range(min(int(cnt[i]), buf.shape[1]))]
+                            for i in range(batch_size)]
             if data_type[0] in ("soon", "reverie") and args.enable_og and flag:
                 ml_loss += self._object_grounding_step(
                     args, obs, gmaps, gmap_in, instructions, history,

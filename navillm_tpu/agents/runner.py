@@ -223,6 +223,36 @@ class NavModelRunner:
                                            pano_embeds)
 
         @jax.jit
+        def pano_mem_nav_train_fn(params, accum, state, rng, pano_in, batch,
+                                  targets, coef):
+            """One fused device step for training with on-chip memory:
+            pano (grads flow) -> detached memory update -> gmap/vp
+            assembly -> navigation loss + grads."""
+            def loss_fn(p):
+                po = pano_apply(p, rng, pano_in, False)
+                pe = po["pano_embeds"]
+                pm = po["pano_masks"]
+                new_state = DM.memory_update(
+                    state, jax.lax.stop_gradient(pe), pm,
+                    batch["cur_ids"], batch["cand_ids"])
+                gmap, vp = DM.assemble_from_memory(
+                    new_state, batch["slot_ids"], pe)
+                full = {k: v for k, v in batch.items()
+                        if k not in ("cur_ids", "cand_ids", "slot_ids")}
+                full["gmap_img_embeds"] = gmap
+                full["vp_img_embeds"] = vp
+                full["hist_embeds"] = new_state["hist_buf"]
+                out = NM.forward_navigation(p, cfg, full)
+                loss = NM.navigation_loss(out["fuse_logits"], targets,
+                                          ignore_id) * coef
+                return loss, (out["fuse_logits"], out["fuse_embeds"],
+                              new_state)
+            (loss, (logits, fuse, new_state)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(params)
+            accum = jax.tree.map(jnp.add, accum, grads)
+            return accum, new_state, loss, logits, fuse
+
+        @jax.jit
         def hist_append_fn(state, fuse_embeds, a_t):
             return DM.hist_append(state, fuse_embeds, a_t)
 
@@ -284,6 +314,7 @@ class NavModelRunner:
         self._mem_update_fn = mem_update_fn
         self._mem_reset_fn = mem_reset_fn
         self._nav_mem_infer_fn = nav_mem_infer_fn
+        self._pano_mem_nav_train_fn = pano_mem_nav_train_fn
         self._hist_append_fn = hist_append_fn
         self._gen_embeds_fn = gen_embeds_fn
         self._pano_fn = pano_fn
@@ -416,6 +447,19 @@ class NavModelRunner:
         logits, fuse = self._nav_mem_infer_fn(self.params, state, dev,
                                               pano_embeds)
         return np.asarray(logits), fuse
+
+    def pano_mem_navigation_train(self, state, rng, pano_inputs, batch,
+                                  targets, coef: float):
+        """Fused pano+memory+nav train step. Returns
+        (new_state, logits(np), fuse(device), loss)."""
+        assert self.grad_accum is not None
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        self.grad_accum, state, loss, logits, fuse = \
+            self._pano_mem_nav_train_fn(
+                self.params, self.grad_accum, state, rng,
+                self._pano_dev_inputs(pano_inputs), dev,
+                jnp.asarray(targets), jnp.float32(coef))
+        return state, np.asarray(logits), fuse, float(loss)
 
     def history_append(self, state, fuse_embeds, a_t):
         return self._hist_append_fn(state, fuse_embeds, jnp.asarray(a_t))

@@ -121,3 +121,44 @@ def test_fused_via_train_entrypoint(train_args, task_config, data_dir,
     loss = agent.train("R2R", batch, args, cfg, dataset=ds, step=0)
     assert np.isfinite(loss) and loss > 0
     det_runner.take_grads()
+
+
+def test_device_memory_train_matches_host(train_args, task_config, data_dir,
+                                          optim_cfg):
+    """Per-step training with on-chip memory == host-memory path
+    (loss and accumulated gradients), dropout disabled."""
+    from navillm_tpu.data.loaders import Dataloader as DL
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    llm = NM.L.LlamaConfig.tiny(vocab_size=tok.vocab_size)
+    pano = PanoConfig.tiny(output_size=llm.hidden_size,
+                           hidden_dropout_prob=0.0)
+    cfg = NM.NavModelConfig(llm=llm, pano=pano)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+
+    args = train_args
+    args.image_feat_size = cfg.pano.image_feat_size
+    args.obj_feat_size = cfg.pano.obj_feat_size
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=True, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
+
+    out = {}
+    for dev_mem in (False, True):
+        runner = NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny(),
+                                feat_dropout=0.0, device_memory=dev_mem)
+        agent = load_agent("r2r", args, world, runner)
+        _identity_perm(agent)
+        batch = next(iter(DL(ds, 2, shuffle=False)))
+        runner.zero_grads()
+        loss, traj = agent.rollout(args, "R2R", optim_cfg.Optim, batch,
+                                   dataset=ds, feedback="teacher",
+                                   train_ml=1.0)
+        out[dev_mem] = (loss, runner.take_grads(),
+                        [t["path"] for t in traj])
+    assert out[True][2] == out[False][2]
+    assert out[True][0] == pytest.approx(out[False][0], rel=1e-4)
+    for a, b in zip(jax.tree.leaves(out[True][1]),
+                    jax.tree.leaves(out[False][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-5)
