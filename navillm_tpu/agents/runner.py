@@ -79,11 +79,21 @@ class NavModelRunner:
         self._build_fns()
 
     def _put_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
-        """Host arrays -> device, batch axis sharded over 'data'."""
+        """Host arrays -> device, batch axis sharded over 'data'.
+
+        Arrays whose leading dim is not divisible by dp (e.g. the fused
+        teacher path's B*T row count, or a ragged final batch) fall back
+        to replicated placement — correct, just not data-parallel."""
         if self.plan is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         sh = self.plan.data_sharding()
-        return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
+        rep = self.plan.named(jax.sharding.PartitionSpec())
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            ok = v.ndim >= 1 and v.shape[0] % self.plan.dp_size == 0
+            out[k] = jax.device_put(v, sh if ok else rep)
+        return out
 
     # ------------------------------------------------------------------ #
     def _next_rng(self):
