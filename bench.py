@@ -227,6 +227,30 @@ def bench_decode(args):
             "vs_baseline": round(v / REF_DECODE_TOK_PER_SEC_PER_CHIP, 3)}
 
 
+def chip_calibration():
+    """Measure raw chip speed so the headline number can be read in
+    context: the tunneled dev chip delivers a small fraction of real
+    v5e peak (measured ~37 GiB/s HBM, ~5 TFLOP/s bf16 vs ~820 GiB/s /
+    ~197 TFLOP/s). Printed to stderr; the JSON line stays clean."""
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+    try:
+        a = jnp.ones((4096, 4096), jnp.bfloat16)
+        g = jax.jit(lambda a: (a @ a).astype(jnp.float32).sum())
+        float(g(a))
+        ts = []
+        for _ in range(4):
+            t0 = _t.perf_counter(); float(g(a)); ts.append(_t.perf_counter() - t0)
+        dt = sorted(ts)[2]
+        tf = 2 * 4096 ** 3 / dt / 1e12
+        print(f"[bench] chip calibration: {tf:.1f} TFLOP/s bf16 "
+              f"(v5e peak ~197; scale results accordingly)",
+              file=sys.stderr)
+    except Exception:
+        pass
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--debug", action="store_true")
@@ -238,6 +262,8 @@ def main():
     ap.add_argument("--timing", action="store_true",
                     help="print per-stage timer breakdown to stderr")
     args = ap.parse_args()
+    if not args.debug:
+        chip_calibration()
     fn = {"train_step": bench_train_step, "rollout": bench_rollout,
           "decode": bench_decode}[args.mode]
     print(json.dumps(fn(args)))
