@@ -154,6 +154,73 @@ class NavModelRunner:
                                "nav_types": nav_types}, deterministic)
 
         @jax.jit
+        def pano_fwd_fn(params, rng, pano_in):
+            """Training-mode panorama forward (dropout on); embeds stay
+            on device for the cotangent-split train step."""
+            po = pano_apply(params, rng, pano_in, False)
+            return po["pano_embeds"], po["pano_masks"]
+
+        @jax.jit
+        def pano_vjp_fn(params, accum, rng, pano_in, cot_embeds):
+            """Backprop a pano-embedding cotangent into the params."""
+            def f(p):
+                return pano_apply(p, rng, pano_in, False)["pano_embeds"]
+            _, vjp = jax.vjp(f, params)
+            (gp,) = vjp(cot_embeds)
+            return jax.tree.map(jnp.add, accum, gp)
+
+        @jax.jit
+        def nav_train_cot_fn(params, accum, batch, pano_embeds, targets,
+                             coef):
+            """Navigation loss + grads wrt params AND pano embeddings.
+
+            Splitting the panorama out of this jit keeps the backend
+            compile tractable (the pano-scan-inside-LLM-grad composition
+            compiles pathologically slowly); pano_vjp_fn completes the
+            chain with identical math."""
+            def loss_fn(p, pe):
+                stop = jnp.zeros((pe.shape[0], 1, pe.shape[2]), pe.dtype)
+                full = dict(batch)
+                full["vp_img_embeds"] = jnp.concatenate([stop, pe], axis=1)
+                out = NM.forward_navigation(p, cfg, full)
+                loss = NM.navigation_loss(out["fuse_logits"], targets,
+                                          ignore_id) * coef
+                return loss, (out["fuse_logits"], out["fuse_embeds"])
+            (loss, aux), (gp, gpe) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, pano_embeds)
+            accum = jax.tree.map(jnp.add, accum, gp)
+            return accum, loss, aux[0], aux[1], gpe
+
+        @jax.jit
+        def nav_mem_train_cot_fn(params, accum, state, batch, pano_embeds,
+                                 pano_masks, targets, coef):
+            """Memory-path variant: detached memory update + assembly in
+            the same call; gradients flow to params and pano embeddings."""
+            # DM binds lazily (closure over _build_fns locals): defined
+            # further down, resolved at trace time
+            new_state = DM.memory_update(state,
+                                         jax.lax.stop_gradient(pano_embeds),
+                                         pano_masks, batch["cur_ids"],
+                                         batch["cand_ids"])
+
+            def loss_fn(p, pe):
+                gmap, vp = DM.assemble_from_memory(new_state,
+                                                   batch["slot_ids"], pe)
+                full = {k: v for k, v in batch.items()
+                        if k not in ("cur_ids", "cand_ids", "slot_ids")}
+                full["gmap_img_embeds"] = gmap
+                full["vp_img_embeds"] = vp
+                full["hist_embeds"] = new_state["hist_buf"]
+                out = NM.forward_navigation(p, cfg, full)
+                loss = NM.navigation_loss(out["fuse_logits"], targets,
+                                          ignore_id) * coef
+                return loss, (out["fuse_logits"], out["fuse_embeds"])
+            (loss, aux), (gp, gpe) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, pano_embeds)
+            accum = jax.tree.map(jnp.add, accum, gp)
+            return accum, new_state, loss, aux[0], aux[1], gpe
+
+        @jax.jit
         def pano_nav_train_fn(params, accum, rng, pano_in, batch, targets,
                               coef):
             def loss_fn(p):
@@ -173,6 +240,39 @@ class NavModelRunner:
             accum = jax.tree.map(jnp.add, accum, grads)
             logits, fuse, pe, pm = aux
             return accum, loss, logits, fuse, pe, pm
+
+        @jax.jit
+        def pano_vjp_obj_fn(params, accum, rng, pano_in, cot_obj):
+            def f(p):
+                return pano_apply(p, rng, pano_in, False)["obj_embeds"]
+            _, vjp = jax.vjp(f, params)
+            (gp,) = vjp(cot_obj)
+            return jax.tree.map(jnp.add, accum, gp)
+
+        @jax.jit
+        def gen_train_cot_fn(params, accum, batch, vp_img_embeds, coef):
+            def loss_fn(p, vp):
+                full = dict(batch)
+                full["vp_img_embeds"] = vp
+                return NM.forward_generation_loss(p, cfg, full)["loss"] * coef
+            loss, (gp, gv) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, vp_img_embeds)
+            accum = jax.tree.map(jnp.add, accum, gp)
+            return accum, loss, gv
+
+        @jax.jit
+        def og_train_cot_fn(params, accum, batch, obj_embeds, targets, coef):
+            def loss_fn(p, oe):
+                full = dict(batch)
+                full["obj_embeds"] = oe
+                out = NM.forward_object_grounding(p, cfg, full)
+                loss = NM.navigation_loss(out["obj_logits"], targets,
+                                          ignore_id) * coef
+                return loss, out["obj_logits"]
+            (loss, logits), (gp, go) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(params, obj_embeds)
+            accum = jax.tree.map(jnp.add, accum, gp)
+            return accum, loss, logits, go
 
         @jax.jit
         def pano_gen_train_fn(params, accum, rng, pano_in, batch, coef):
@@ -317,7 +417,14 @@ class NavModelRunner:
             return accum, loss, logits
 
         self._pano_dict_fn = pano_dict_fn
+        self._pano_fwd_fn = pano_fwd_fn
+        self._pano_vjp_fn = pano_vjp_fn
+        self._nav_train_cot_fn = nav_train_cot_fn
+        self._nav_mem_train_cot_fn = nav_mem_train_cot_fn
         self._pano_nav_train_fn = pano_nav_train_fn
+        self._pano_vjp_obj_fn = pano_vjp_obj_fn
+        self._gen_train_cot_fn = gen_train_cot_fn
+        self._og_train_cot_fn = og_train_cot_fn
         self._pano_gen_train_fn = pano_gen_train_fn
         self._pano_og_train_fn = pano_og_train_fn
         self._fuse_only_fn = fuse_only_fn
@@ -353,35 +460,49 @@ class NavModelRunner:
 
     def pano_navigation_train(self, pano_inputs, rng, batch, targets,
                               coef: float):
-        """Fused pano + navigation loss + grads: panorama recomputed
-        inside the loss with `rng` so its params receive gradients.
+        """Pano-differentiable navigation train step, split into three
+        jits (pano fwd -> nav loss/grads + embedding cotangent -> pano
+        vjp) — mathematically one fused step, but each piece compiles
+        fast (the pano-inside-LLM-grad composition compiles ~20x
+        slower as a single program).
         Returns (logits, fuse_embeds, pano_embeds, pano_masks, loss)."""
         assert self.grad_accum is not None
+        pano_dev = self._pano_dev_inputs(pano_inputs)
+        pe, pm = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = self._put_batch(batch)
         tgt = self._put_batch({"t": targets})["t"]
-        self.grad_accum, loss, logits, fuse, pe, pm = self._pano_nav_train_fn(
-            self.params, self.grad_accum, rng,
-            self._pano_dev_inputs(pano_inputs), dev, tgt, jnp.float32(coef))
+        self.grad_accum, loss, logits, fuse, gpe = self._nav_train_cot_fn(
+            self.params, self.grad_accum, dev, pe, tgt, jnp.float32(coef))
+        self.grad_accum = self._pano_vjp_fn(self.params, self.grad_accum,
+                                            rng, pano_dev, gpe)
         return (np.asarray(logits), np.asarray(fuse), np.asarray(pe),
                 np.asarray(pm), float(loss))
 
     def pano_generation_train(self, pano_inputs, rng, batch, coef: float
                               ) -> float:
         assert self.grad_accum is not None
+        pano_dev = self._pano_dev_inputs(pano_inputs)
+        pe, _ = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = self._put_batch(batch)
         dev["special_token_mask"] = self._special_mask
-        self.grad_accum, loss = self._pano_gen_train_fn(
-            self.params, self.grad_accum, rng,
-            self._pano_dev_inputs(pano_inputs), dev, jnp.float32(coef))
+        self.grad_accum, loss, gv = self._gen_train_cot_fn(
+            self.params, self.grad_accum, dev, pe, jnp.float32(coef))
+        self.grad_accum = self._pano_vjp_fn(self.params, self.grad_accum,
+                                            rng, pano_dev, gv)
         return float(loss)
 
     def pano_og_train(self, pano_inputs, rng, batch, targets, coef: float):
         assert self.grad_accum is not None
+        pano_dev = self._pano_dev_inputs(pano_inputs)
+        out = self._pano_dict_fn(self.params, rng, pano_dev,
+                                 deterministic=False)
         dev = self._put_batch(batch)
         tgt = self._put_batch({"t": targets})["t"]
-        self.grad_accum, loss, logits = self._pano_og_train_fn(
-            self.params, self.grad_accum, rng,
-            self._pano_dev_inputs(pano_inputs), dev, tgt, jnp.float32(coef))
+        self.grad_accum, loss, logits, go = self._og_train_cot_fn(
+            self.params, self.grad_accum, dev, out["obj_embeds"], tgt,
+            jnp.float32(coef))
+        self.grad_accum = self._pano_vjp_obj_fn(self.params, self.grad_accum,
+                                                rng, pano_dev, go)
         return np.asarray(logits), float(loss)
 
     def navigation(self, batch: Dict[str, np.ndarray],
@@ -460,15 +581,18 @@ class NavModelRunner:
 
     def pano_mem_navigation_train(self, state, rng, pano_inputs, batch,
                                   targets, coef: float):
-        """Fused pano+memory+nav train step. Returns
-        (new_state, logits(np), fuse(device), loss)."""
+        """Device-memory navigation train step (cotangent-split chain).
+        Returns (new_state, logits(np), fuse(device), loss)."""
         assert self.grad_accum is not None
+        pano_dev = self._pano_dev_inputs(pano_inputs)
+        pe, pm = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
-        self.grad_accum, state, loss, logits, fuse = \
-            self._pano_mem_nav_train_fn(
-                self.params, self.grad_accum, state, rng,
-                self._pano_dev_inputs(pano_inputs), dev,
+        self.grad_accum, state, loss, logits, fuse, gpe = \
+            self._nav_mem_train_cot_fn(
+                self.params, self.grad_accum, state, dev, pe, pm,
                 jnp.asarray(targets), jnp.float32(coef))
+        self.grad_accum = self._pano_vjp_fn(self.params, self.grad_accum,
+                                            rng, pano_dev, gpe)
         return state, np.asarray(logits), fuse, float(loss)
 
     def history_append(self, state, fuse_embeds, a_t):
