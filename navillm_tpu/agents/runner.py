@@ -221,27 +221,6 @@ class NavModelRunner:
             return accum, new_state, loss, aux[0], aux[1], gpe
 
         @jax.jit
-        def pano_nav_train_fn(params, accum, rng, pano_in, batch, targets,
-                              coef):
-            def loss_fn(p):
-                po = pano_apply(p, rng, pano_in, False)
-                pe = po["pano_embeds"]
-                stop = jnp.zeros((pe.shape[0], 1, pe.shape[2]), pe.dtype)
-                full = dict(batch)
-                full["vp_img_embeds"] = jnp.concatenate([stop, pe], axis=1)
-                out = NM.forward_navigation(p, cfg, full)
-                loss = NM.navigation_loss(out["fuse_logits"], targets,
-                                          ignore_id) * coef
-                return loss, (out["fuse_logits"], out["fuse_embeds"],
-                              jax.lax.stop_gradient(pe),
-                              jax.lax.stop_gradient(po["pano_masks"]))
-            (loss, aux), grads = jax.value_and_grad(loss_fn,
-                                                    has_aux=True)(params)
-            accum = jax.tree.map(jnp.add, accum, grads)
-            logits, fuse, pe, pm = aux
-            return accum, loss, logits, fuse, pe, pm
-
-        @jax.jit
         def pano_vjp_obj_fn(params, accum, rng, pano_in, cot_obj):
             def f(p):
                 return pano_apply(p, rng, pano_in, False)["obj_embeds"]
@@ -275,36 +254,6 @@ class NavModelRunner:
             return accum, loss, logits, go
 
         @jax.jit
-        def pano_gen_train_fn(params, accum, rng, pano_in, batch, coef):
-            def loss_fn(p):
-                po = pano_apply(p, rng, pano_in, False)
-                full = dict(batch)
-                full["vp_img_embeds"] = po["pano_embeds"]
-                return NM.forward_generation_loss(p, cfg, full)["loss"] * coef
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            accum = jax.tree.map(jnp.add, accum, grads)
-            return accum, loss
-
-        @jax.jit
-        def pano_og_train_fn(params, accum, rng, pano_in, batch, targets,
-                             coef):
-            # requires object inputs in pano_in (cfg.pano.use_obj) so the
-            # obj_projector trains through the OG loss; the no-objects
-            # case goes through og_train_fn with zero embeds
-            def loss_fn(p):
-                po = pano_apply(p, rng, pano_in, False)
-                full = dict(batch)
-                full["obj_embeds"] = po["obj_embeds"]
-                out = NM.forward_object_grounding(p, cfg, full)
-                loss = NM.navigation_loss(out["obj_logits"], targets,
-                                          ignore_id) * coef
-                return loss, out["obj_logits"]
-            (loss, logits), grads = jax.value_and_grad(loss_fn,
-                                                       has_aux=True)(params)
-            accum = jax.tree.map(jnp.add, accum, grads)
-            return accum, loss, logits
-
-        @jax.jit
         def fuse_only_fn(params, batch):
             fuse, cand_masks = NM.fuse_gmap_local(params, cfg, batch)
             return fuse
@@ -331,36 +280,6 @@ class NavModelRunner:
         def nav_mem_infer_fn(params, state, batch, pano_embeds):
             return DM.nav_step_from_memory(params, cfg, state, batch,
                                            pano_embeds)
-
-        @jax.jit
-        def pano_mem_nav_train_fn(params, accum, state, rng, pano_in, batch,
-                                  targets, coef):
-            """One fused device step for training with on-chip memory:
-            pano (grads flow) -> detached memory update -> gmap/vp
-            assembly -> navigation loss + grads."""
-            def loss_fn(p):
-                po = pano_apply(p, rng, pano_in, False)
-                pe = po["pano_embeds"]
-                pm = po["pano_masks"]
-                new_state = DM.memory_update(
-                    state, jax.lax.stop_gradient(pe), pm,
-                    batch["cur_ids"], batch["cand_ids"])
-                gmap, vp = DM.assemble_from_memory(
-                    new_state, batch["slot_ids"], pe)
-                full = {k: v for k, v in batch.items()
-                        if k not in ("cur_ids", "cand_ids", "slot_ids")}
-                full["gmap_img_embeds"] = gmap
-                full["vp_img_embeds"] = vp
-                full["hist_embeds"] = new_state["hist_buf"]
-                out = NM.forward_navigation(p, cfg, full)
-                loss = NM.navigation_loss(out["fuse_logits"], targets,
-                                          ignore_id) * coef
-                return loss, (out["fuse_logits"], out["fuse_embeds"],
-                              new_state)
-            (loss, (logits, fuse, new_state)), grads = \
-                jax.value_and_grad(loss_fn, has_aux=True)(params)
-            accum = jax.tree.map(jnp.add, accum, grads)
-            return accum, new_state, loss, logits, fuse
 
         @jax.jit
         def hist_append_fn(state, fuse_embeds, a_t):
@@ -421,17 +340,13 @@ class NavModelRunner:
         self._pano_vjp_fn = pano_vjp_fn
         self._nav_train_cot_fn = nav_train_cot_fn
         self._nav_mem_train_cot_fn = nav_mem_train_cot_fn
-        self._pano_nav_train_fn = pano_nav_train_fn
         self._pano_vjp_obj_fn = pano_vjp_obj_fn
         self._gen_train_cot_fn = gen_train_cot_fn
         self._og_train_cot_fn = og_train_cot_fn
-        self._pano_gen_train_fn = pano_gen_train_fn
-        self._pano_og_train_fn = pano_og_train_fn
         self._fuse_only_fn = fuse_only_fn
         self._mem_update_fn = mem_update_fn
         self._mem_reset_fn = mem_reset_fn
         self._nav_mem_infer_fn = nav_mem_infer_fn
-        self._pano_mem_nav_train_fn = pano_mem_nav_train_fn
         self._hist_append_fn = hist_append_fn
         self._gen_embeds_fn = gen_embeds_fn
         self._pano_fn = pano_fn
