@@ -146,7 +146,6 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     for i, g in enumerate(gmaps):
         g._embed_sum.clear()
         g._embed_cnt.clear()
-    rows: List[Dict[str, Any]] = []     # one per (step, episode)
     H = agent.runner.cfg.hidden_size
     with agent.timer.stage("nav_assemble"):
         for st_idx, step in enumerate(steps):
