@@ -130,11 +130,10 @@ def bench_rollout(args):
         max_objects=8))
 
     # synthetic 8x8 grid world + R2R annotations
+    from navillm_tpu.testing import make_grid_connectivity
     root = Path(tempfile.mkdtemp())
-    sys.path.insert(0, str(Path(__file__).parent / "tests"))
-    import conftest as C
-    C.make_grid_connectivity(root / "connectivity", scan="bench0", rows=8,
-                             cols=8)
+    make_grid_connectivity(root / "connectivity", scan="bench0", rows=8,
+                           cols=8)
     rng = np.random.RandomState(0)
     items = []
     n_slots = args.batch or 16

@@ -64,3 +64,52 @@ def synthetic_nav_batch(cfg: NavModelConfig, b: int = 2, g: int = 12,
         "attention_mask": np.ones((b, tlen), bool),
         "cls_pos": np.full((b,), tlen - 1, np.int32),
     }
+
+
+import json as _json
+from pathlib import Path as _Path
+
+
+def make_grid_connectivity(tmpdir, scan: str = "scan0", rows: int = 4,
+                           cols: int = 4, spacing: float = 2.0,
+                           drop_edges=()) -> "_Path":
+    """Write a Matterport-style connectivity JSON for a grid world.
+
+    Node (r, c) sits at (c*spacing, r*spacing, 0) with id 'vp_r_c'.
+    4-connected grid; `drop_edges` removes specific ((r,c),(r,c)) links.
+    """
+    n = rows * cols
+    ids = [f"vp_{r}_{c}" for r in range(rows) for c in range(cols)]
+    pos = [(c * spacing, r * spacing, 0.0) for r in range(rows) for c in range(cols)]
+    unob = [[False] * n for _ in range(n)]
+    dropped = {frozenset(e) for e in drop_edges}
+
+    def k(r, c):
+        return r * cols + c
+
+    for r in range(rows):
+        for c in range(cols):
+            for dr, dc in ((0, 1), (1, 0)):
+                r2, c2 = r + dr, c + dc
+                if r2 < rows and c2 < cols and frozenset(((r, c), (r2, c2))) not in dropped:
+                    unob[k(r, c)][k(r2, c2)] = True
+                    unob[k(r2, c2)][k(r, c)] = True
+
+    data = []
+    for i in range(n):
+        x, y, z = pos[i]
+        pose = [0.0] * 16
+        pose[3], pose[7], pose[11] = x, y, z
+        data.append({
+            "image_id": ids[i],
+            "pose": pose,
+            "included": True,
+            "unobstructed": unob[i],
+            "height": 1.5,
+        })
+    tmpdir = _Path(tmpdir)
+    tmpdir.mkdir(parents=True, exist_ok=True)
+    out = tmpdir / f"{scan}_connectivity.json"
+    with open(out, "w") as f:
+        _json.dump(data, f)
+    return out
