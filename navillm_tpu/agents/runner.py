@@ -68,6 +68,10 @@ class NavModelRunner:
         self._special_mask = jnp.asarray(tokenizer.special_logit_mask())
         self.grad_accum = None
         self.plan = mesh_plan
+        # diagnostic: count of device_put calls that fell back to
+        # replicated placement (training paths should keep this at 0
+        # via _dp_pad_rows)
+        self.replicated_puts = 0
         # device-resident rollout memory (agents/device_memory.py): graph
         # node embeddings + history stay in HBM; per-step host traffic is
         # integer bookkeeping + [B, G] logits only
@@ -81,9 +85,10 @@ class NavModelRunner:
     def _put_batch(self, batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
         """Host arrays -> device, batch axis sharded over 'data'.
 
-        Arrays whose leading dim is not divisible by dp (e.g. the fused
-        teacher path's B*T row count, or a ragged final batch) fall back
-        to replicated placement — correct, just not data-parallel."""
+        Arrays whose leading dim is not divisible by dp (e.g. a ragged
+        final batch on an inference path) fall back to replicated
+        placement — correct, just not data-parallel. Training entry
+        points avoid that fallback by padding rows first (_dp_pad_rows)."""
         if self.plan is None:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         sh = self.plan.data_sharding()
@@ -92,8 +97,52 @@ class NavModelRunner:
         for k, v in batch.items():
             v = np.asarray(v)
             ok = v.ndim >= 1 and v.shape[0] % self.plan.dp_size == 0
+            if not ok:
+                self.replicated_puts += 1
             out[k] = jax.device_put(v, sh if ok else rep)
         return out
+
+    def _dp_pad_rows(self, *dicts, targets=None, labels_key: Optional[str]
+                     = None, rows: Optional[int] = None):
+        """Pad every row-indexed array to the next dp multiple so training
+        batches shard over 'data' instead of replicating (the fused teacher
+        path's T*B row count is rarely dp-divisible). Pad rows replicate
+        the last real row — numerically benign inputs — while their loss
+        contribution is zeroed: nav/og targets get ignore_id (sum-with-
+        ignore CE), generation labels get -100 (mean over valid tokens
+        counts no new valid positions). Loss values and gradients are
+        bit-identical to the unpadded batch.
+
+        Returns (padded_dicts..., padded_targets). Arrays whose leading
+        dim != rows (e.g. a vocab mask) pass through untouched."""
+        if targets is not None:
+            rows = len(targets)
+        assert rows is not None
+        if self.plan is None or self.plan.dp_size <= 1:
+            return (*dicts, targets)
+        pad = (-rows) % self.plan.dp_size
+        if pad == 0:
+            return (*dicts, targets)
+
+        def pad_arr(v, fill=None):
+            v = np.asarray(v)
+            tail = np.repeat(v[-1:], pad, axis=0) if fill is None else \
+                np.full((pad, *v.shape[1:]), fill, v.dtype)
+            return np.concatenate([v, tail], axis=0)
+
+        out = []
+        for d in dicts:
+            nd = {}
+            for k, v in d.items():
+                a = np.asarray(v)
+                if a.ndim >= 1 and a.shape[0] == rows:
+                    nd[k] = pad_arr(a, fill=-100 if k == labels_key else None)
+                else:
+                    nd[k] = v
+            out.append(nd)
+        if targets is not None:
+            targets = pad_arr(np.asarray(targets), fill=self.ignore_id)
+        return (*out, targets)
 
     # ------------------------------------------------------------------ #
     def _next_rng(self):
@@ -382,7 +431,9 @@ class NavModelRunner:
         slower as a single program).
         Returns (logits, fuse_embeds, pano_embeds, pano_masks, loss)."""
         assert self.grad_accum is not None
-        pano_dev = self._pano_dev_inputs(pano_inputs)
+        n_rows = len(targets)
+        pano_dev, batch, targets = self._dp_pad_rows(
+            self._pano_dev_inputs(pano_inputs), batch, targets=targets)
         pe, pm = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = self._put_batch(batch)
         tgt = self._put_batch({"t": targets})["t"]
@@ -390,13 +441,16 @@ class NavModelRunner:
             self.params, self.grad_accum, dev, pe, tgt, jnp.float32(coef))
         self.grad_accum = self._pano_vjp_fn(self.params, self.grad_accum,
                                             rng, pano_dev, gpe)
-        return (np.asarray(logits), np.asarray(fuse), np.asarray(pe),
-                np.asarray(pm), float(loss))
+        return (np.asarray(logits)[:n_rows], np.asarray(fuse)[:n_rows],
+                np.asarray(pe)[:n_rows], np.asarray(pm)[:n_rows],
+                float(loss))
 
     def pano_generation_train(self, pano_inputs, rng, batch, coef: float
                               ) -> float:
         assert self.grad_accum is not None
-        pano_dev = self._pano_dev_inputs(pano_inputs)
+        pano_dev, batch, _ = self._dp_pad_rows(
+            self._pano_dev_inputs(pano_inputs), batch, labels_key="labels",
+            rows=len(batch["input_ids"]))
         pe, _ = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = self._put_batch(batch)
         dev["special_token_mask"] = self._special_mask
@@ -408,7 +462,9 @@ class NavModelRunner:
 
     def pano_og_train(self, pano_inputs, rng, batch, targets, coef: float):
         assert self.grad_accum is not None
-        pano_dev = self._pano_dev_inputs(pano_inputs)
+        n_rows = len(targets)
+        pano_dev, batch, targets = self._dp_pad_rows(
+            self._pano_dev_inputs(pano_inputs), batch, targets=targets)
         out = self._pano_dict_fn(self.params, rng, pano_dev,
                                  deterministic=False)
         dev = self._put_batch(batch)
@@ -418,44 +474,55 @@ class NavModelRunner:
             jnp.float32(coef))
         self.grad_accum = self._pano_vjp_obj_fn(self.params, self.grad_accum,
                                                 rng, pano_dev, go)
-        return np.asarray(logits), float(loss)
+        return np.asarray(logits)[:n_rows], float(loss)
 
     def navigation(self, batch: Dict[str, np.ndarray],
                    targets: Optional[np.ndarray] = None,
                    coef: float = 1.0, train: bool = False
                    ) -> Tuple[np.ndarray, np.ndarray, float]:
-        dev = self._put_batch(batch)
         if train:
             assert self.grad_accum is not None, "call zero_grads() first"
+            n_rows = len(targets)
+            batch, targets = self._dp_pad_rows(batch, targets=targets)
+            dev = self._put_batch(batch)
             tgt = self._put_batch({"t": targets})["t"]
             self.grad_accum, loss, logits, fuse = self._nav_train_fn(
                 self.params, self.grad_accum, dev, tgt, jnp.float32(coef))
-            return np.asarray(logits), np.asarray(fuse), float(loss)
+            return (np.asarray(logits)[:n_rows], np.asarray(fuse)[:n_rows],
+                    float(loss))
+        dev = self._put_batch(batch)
         logits, fuse = self._nav_infer_fn(self.params, dev)
         return np.asarray(logits), np.asarray(fuse), 0.0
 
     def generation(self, batch: Dict[str, np.ndarray], coef: float = 1.0,
                    train: bool = False) -> float:
-        dev = self._put_batch(batch)
-        dev["special_token_mask"] = self._special_mask
         if train:
             assert self.grad_accum is not None
+            batch, _ = self._dp_pad_rows(batch, labels_key="labels",
+                                         rows=len(batch["input_ids"]))
+            dev = self._put_batch(batch)
+            dev["special_token_mask"] = self._special_mask
             self.grad_accum, loss = self._gen_train_fn(
                 self.params, self.grad_accum, dev, jnp.float32(coef))
             return float(loss)
+        dev = self._put_batch(batch)
+        dev["special_token_mask"] = self._special_mask
         return float(self._gen_loss_fn(self.params, dev))
 
     def object_grounding(self, batch: Dict[str, np.ndarray],
                          targets: Optional[np.ndarray] = None,
                          coef: float = 1.0, train: bool = False
                          ) -> Tuple[np.ndarray, float]:
-        dev = self._put_batch(batch)
         if train:
             assert self.grad_accum is not None
+            n_rows = len(targets)
+            batch, targets = self._dp_pad_rows(batch, targets=targets)
+            dev = self._put_batch(batch)
             tgt = self._put_batch({"t": targets})["t"]
             self.grad_accum, loss, logits = self._og_train_fn(
                 self.params, self.grad_accum, dev, tgt, jnp.float32(coef))
-            return np.asarray(logits), float(loss)
+            return np.asarray(logits)[:n_rows], float(loss)
+        dev = self._put_batch(batch)
         return np.asarray(self._og_infer_fn(self.params, dev)), 0.0
 
     # ---------- device-resident rollout memory API ---------------------- #

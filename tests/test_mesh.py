@@ -77,3 +77,77 @@ def test_mesh_matches_single_device():
         _, _, loss2 = r2.navigation(batch, targets=targets, coef=1.0,
                                     train=True)
     assert abs(loss1 - loss2) < 1e-4 * max(1.0, abs(loss1))
+
+
+def test_dp_pad_rows_keeps_data_parallel():
+    """Row counts not divisible by dp are padded (loss-invariantly) rather
+    than falling back to replicated placement (runner._dp_pad_rows)."""
+    tok = NavTokenizer()
+    cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    batch = synthetic_nav_batch(cfg, b=5, g=12, v=8, c=8, hh=4, tlen=64)
+    targets = np.full((5,), 2, np.int64)
+
+    r1 = NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny())
+    r1.zero_grads()
+    logits1, _, loss1 = r1.navigation(batch, targets=targets, coef=1.0,
+                                      train=True)
+
+    plan = make_mesh(dp_size=4, tp_size=2)
+    r2 = NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny(),
+                        mesh_plan=plan)
+    r2.zero_grads()
+    with plan.mesh:
+        logits2, _, loss2 = r2.navigation(batch, targets=targets, coef=1.0,
+                                          train=True)
+    assert r2.replicated_puts == 0, "padding should avoid replicated puts"
+    assert logits2.shape == logits1.shape == (5, 12)
+    assert abs(loss1 - loss2) < 1e-4 * max(1.0, abs(loss1))
+    np.testing.assert_allclose(logits1, logits2, rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_fused_teacher_step(train_args, task_config, data_dir):
+    """The flagship fused-teacher training path stays data-parallel on a
+    dp=4 x tp=2 mesh: T*B rows get padded to a dp multiple, no array
+    falls back to replicated placement, loss is finite."""
+    from navillm_tpu.agents import load_agent
+    from navillm_tpu.agents.fused_teacher import rollout_teacher_fused
+    from navillm_tpu.data.datasets import load_dataset
+    from navillm_tpu.data.feature_db import SyntheticImageFeaturesDB
+    from navillm_tpu.data.loaders import Dataloader
+    from navillm_tpu.models.pano_encoder import PanoConfig
+    from navillm_tpu.sim import WorldModel
+    from navillm_tpu.utils.config import ConfigDict
+
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    llm = NM.L.LlamaConfig.tiny(vocab_size=tok.vocab_size)
+    cfg = NM.NavModelConfig(
+        llm=llm, pano=PanoConfig.tiny(output_size=llm.hidden_size))
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    plan = make_mesh(dp_size=4, tp_size=2)
+    runner = NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny(),
+                            mesh_plan=plan)
+
+    args = train_args
+    args.image_feat_size = cfg.pano.image_feat_size
+    args.obj_feat_size = cfg.pano.obj_feat_size
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=True, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
+    batch = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+    optim_cfg = ConfigDict({"Optim": {"train_max_action_len": {"R2R": 4},
+                                      "val_max_action_len": {"R2R": 5}}})
+
+    agent = load_agent("r2r", args, world, runner)
+    runner.zero_grads()
+    with plan.mesh:
+        loss, traj = rollout_teacher_fused(agent, args, "R2R",
+                                           optim_cfg.Optim, batch,
+                                           dataset=ds, train_ml=1.0)
+    assert np.isfinite(loss) and loss > 0
+    assert runner.replicated_puts == 0, \
+        "fused-teacher rows must shard over the data axis"
+    grads = runner.take_grads()
+    total = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert total > 0
