@@ -169,10 +169,12 @@ def bench_rollout(args):
     agent = load_agent("r2r", targs, world, runner)
     loader = Dataloader(ds, batch_size=n_slots, shuffle=False)
 
-    # warmup (compile) with one batched rollout
-    batch = next(iter(loader))
-    agent.rollout(targs, "R2R", tcfg.Optim, batch, dataset=ds,
-                  feedback="argmax", train_ml=None, validate=True)
+    # warmup (compile) with one untimed streaming pass: compiles the
+    # fused eval-step executable for every prompt-length bucket
+    agent.validate_streaming("R2R", targs, tcfg,
+                             Dataloader(ds, targs.val_batch_size,
+                                        shuffle=False), dataset=ds)
+    agent.timer.reset()
     # timed: continuous-refill streaming evaluation over the dataset
     iters = 1 if args.debug else max(args.iters // 10, 2)
     t0 = time.perf_counter()

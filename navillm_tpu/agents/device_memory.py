@@ -101,6 +101,46 @@ def hist_append(state, fuse_embeds, a_t):
     return {**state, "hist_buf": new_buf, "hist_cnt": new_cnt}
 
 
+def reset_slots(state, reset_mask):
+    """Zero the memory of refilled slots (reset_mask [B] bool)."""
+    z = reset_mask
+    return {
+        "mem_sum": jnp.where(z[:, None, None], 0, state["mem_sum"]),
+        "mem_cnt": jnp.where(z[:, None], 0, state["mem_cnt"]),
+        "hist_buf": jnp.where(z[:, None, None], 0, state["hist_buf"]),
+        "hist_cnt": jnp.where(z, 0, state["hist_cnt"]),
+    }
+
+
+def eval_step(params, cfg, pano_apply, state, pano_in, batch, reset_mask,
+              cur_ids, cand_ids, active_mask, rng, do_sample: bool,
+              temperature):
+    """ONE fused evaluation step: reset refilled slots -> panorama ->
+    memory update -> navigation forward -> action select -> history
+    append. A single executable per rollout step (the per-call relay
+    overhead of the split pano/mem/nav/hist chain dominated eval
+    wall-clock on tunneled chips), downloading only a_t.
+
+    pano_apply(params, rng, pano_in, deterministic) -> dict with
+    pano_embeds/pano_masks (the runner's closure, dropout off here).
+    Returns (new_state, a_t [B] int32, logits [B, G] fp32).
+    """
+    state = reset_slots(state, reset_mask)
+    po = pano_apply(params, rng, pano_in, True)
+    pano_embeds, pano_masks = po["pano_embeds"], po["pano_masks"]
+    state = memory_update(state, pano_embeds, pano_masks, cur_ids, cand_ids)
+    logits, fuse = nav_step_from_memory(params, cfg, state, batch,
+                                        pano_embeds)
+    if do_sample:
+        a_t = jax.random.categorical(
+            rng, logits / jnp.maximum(temperature, 1e-6), axis=-1)
+    else:
+        a_t = jnp.argmax(logits, axis=-1)
+    a_t = a_t.astype(jnp.int32)
+    state = hist_append(state, fuse, jnp.where(active_mask, a_t, -1))
+    return state, a_t, logits
+
+
 def nav_step_from_memory(params, cfg, state, batch, pano_embeds):
     """Fused device step: assemble from memory -> forward_navigation ->
     append chosen-action history. Returns (logits, new_state).

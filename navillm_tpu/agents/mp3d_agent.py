@@ -436,6 +436,10 @@ class MP3DAgent:
                                  dataset=dataset, **kwargs)
         feedback = "sample" if args.do_sample else "argmax"
         max_action_len = config.Optim.val_max_action_len[name]
+        assert max_action_len <= self.dims.max_hist, (
+            f"max_action_len {max_action_len} exceeds history capacity "
+            f"{self.dims.max_hist}: hist_append would overwrite the last "
+            f"slot; raise RolloutDims.max_hist")
         num_slots = max(args.val_batch_size, 1)
 
         def sample_iter():
@@ -498,6 +502,9 @@ class MP3DAgent:
 
         use_mem = getattr(self.runner, "device_memory", True)
         mem_state = self.runner.memory_init(num_slots) if use_mem else None
+        # slots refilled last iteration; their device memory is zeroed at
+        # the start of the fused step (one executable per rollout step)
+        reset_rows = np.zeros(num_slots, bool)
 
         while any(sl.active for sl in slots):
             # FIXED slot->row binding: every slot occupies its batch row
@@ -521,10 +528,8 @@ class MP3DAgent:
                     < pano_inputs["view_lens"][:, None])
 
             if use_mem:
-                with self.timer.stage("pano_device"):
-                    pano_embeds_dev, _ = self.runner.panorama_device(
-                        pano_inputs, deterministic=True)
-                # bookkeeping ids for the on-chip memory update
+                # bookkeeping ids for the on-chip memory update (the
+                # update itself runs inside the fused eval step below)
                 M = mem_state["mem_sum"].shape[1]
                 cur_ids = np.full(num_slots, -1, np.int32)
                 cand_ids = np.full(
@@ -541,10 +546,6 @@ class MP3DAgent:
                             nid = gidx.get(cvp, -1)
                             if 0 <= nid < M:
                                 cand_ids[i, j] = nid
-                with self.timer.stage("mem_update"):
-                    mem_state = self.runner.memory_update(
-                        mem_state, pano_embeds_dev,
-                        jnp_bool(host_pano_masks), cur_ids, cand_ids)
                 pano_embeds_np = None
             else:
                 with self.timer.stage("pano_device"):
@@ -604,9 +605,16 @@ class MP3DAgent:
                             if 0 <= nid < M:
                                 slot_ids[i, k] = nid
                 nav_batch["slot_ids"] = slot_ids
+                # ONE device call: reset refills -> pano -> mem update ->
+                # nav forward -> action select -> hist append. Downloads
+                # only a_t (per-call relay latency dominated the old
+                # 4-call chain); logits stay on device.
                 with self.timer.stage("nav_device"):
-                    logits, fuse_dev = self.runner.navigation_from_memory(
-                        mem_state, nav_batch, pano_embeds_dev)
+                    mem_state, a_t, _ = self.runner.eval_step(
+                        mem_state, pano_inputs, nav_batch, reset_rows,
+                        cur_ids, cand_ids, real_mask,
+                        do_sample=(feedback == "sample"),
+                        temperature=getattr(args, "temperature", 1.0))
                 fuse_embeds = None
             else:
                 nav_batch["gmap_img_embeds"] = gmap_in["gmap_img_embeds"]
@@ -616,19 +624,16 @@ class MP3DAgent:
                 with self.timer.stage("nav_device"):
                     logits, fuse_embeds, _ = self.runner.navigation(nav_batch)
 
-            if feedback == "sample":
-                probs = _softmax(logits / max(args.temperature, 1e-6))
-                a_t = np.array([self.np_rng.choice(
-                    len(p), p=(p / p.sum()).astype(np.float64))
-                    for p in probs.astype(np.float64)])
-            else:
-                a_t = logits.argmax(1)
-
-            if use_mem:
-                a_t_masked = np.where(real_mask, a_t, -1).astype(np.int64)
-                with self.timer.stage("mem_update"):
-                    mem_state = self.runner.history_append(
-                        mem_state, fuse_dev, a_t_masked)
+            if not use_mem:
+                # action select + history append run on device inside
+                # eval_step on the memory path
+                if feedback == "sample":
+                    probs = _softmax(logits / max(args.temperature, 1e-6))
+                    a_t = np.array([self.np_rng.choice(
+                        len(p), p=(p / p.sum()).astype(np.float64))
+                        for p in probs.astype(np.float64)])
+                else:
+                    a_t = logits.argmax(1)
 
             nav_vpids = gmap_in["gmap_vpids"]
             reset_rows = np.zeros(num_slots, bool)
@@ -668,9 +673,8 @@ class MP3DAgent:
                                                 data_type=sl.data_type)[0]
                     self.update_scanvp_cands([sl.ob])
                     sl.gmap.update_graph(sl.ob)
-            if use_mem and reset_rows.any():
-                mem_state = self.runner.memory_reset_slots(mem_state,
-                                                           reset_rows)
+            # (memory of refilled slots is zeroed inside the NEXT fused
+            # eval step via reset_rows — no extra device call here)
             flush_og()
         flush_og(force=True)
         return get_results(results)
@@ -734,6 +738,10 @@ class MP3DAgent:
 
         max_action_len = optim_cfg.val_max_action_len[name] if validate \
             else optim_cfg.train_max_action_len[name]
+        assert max_action_len <= self.dims.max_hist, (
+            f"max_action_len {max_action_len} exceeds history capacity "
+            f"{self.dims.max_hist}: hist_append would overwrite the last "
+            f"slot; raise RolloutDims.max_hist")
 
         self.update_scanvp_cands(obs)
         if self._prefetcher is None and dataset is not None \

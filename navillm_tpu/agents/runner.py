@@ -330,6 +330,14 @@ class NavModelRunner:
             return DM.nav_step_from_memory(params, cfg, state, batch,
                                            pano_embeds)
 
+        @functools.partial(jax.jit, static_argnames=("do_sample",),
+                           donate_argnames=("state",))
+        def eval_step_fn(params, state, pano_in, batch, reset_mask, cur_ids,
+                         cand_ids, active_mask, rng, temperature, do_sample):
+            return DM.eval_step(params, cfg, pano_apply, state, pano_in,
+                                batch, reset_mask, cur_ids, cand_ids,
+                                active_mask, rng, do_sample, temperature)
+
         @jax.jit
         def hist_append_fn(state, fuse_embeds, a_t):
             return DM.hist_append(state, fuse_embeds, a_t)
@@ -384,6 +392,7 @@ class NavModelRunner:
             accum = jax.tree.map(jnp.add, accum, grads)
             return accum, loss, logits
 
+        self._eval_step_fn = eval_step_fn
         self._pano_dict_fn = pano_dict_fn
         self._pano_fwd_fn = pano_fwd_fn
         self._pano_vjp_fn = pano_vjp_fn
@@ -553,6 +562,22 @@ class NavModelRunner:
 
     def memory_reset_slots(self, state, reset_mask):
         return self._mem_reset_fn(state, jnp.asarray(reset_mask))
+
+    def eval_step(self, state, pano_inputs, batch, reset_mask, cur_ids,
+                  cand_ids, active_mask, do_sample: bool = False,
+                  temperature: float = 1.0):
+        """ONE device call per streaming-eval rollout step (reset ->
+        pano -> memory update -> nav forward -> action select -> hist
+        append). Returns (new_state, a_t np[B], logits device[B, G]).
+        Only a_t needs downloading; logits stay on device."""
+        pano_dev = self._pano_dev_inputs(pano_inputs)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, a_t, logits = self._eval_step_fn(
+            self.params, state, pano_dev, dev, jnp.asarray(reset_mask),
+            jnp.asarray(cur_ids), jnp.asarray(cand_ids),
+            jnp.asarray(active_mask), self._next_rng(),
+            jnp.float32(temperature), do_sample=do_sample)
+        return state, np.asarray(a_t), logits
 
     def navigation_from_memory(self, state, batch: Dict[str, np.ndarray],
                                pano_embeds):
