@@ -36,7 +36,7 @@ REF_EPISODES_PER_SEC_PER_CHIP = 0.84
 REF_DECODE_TOK_PER_SEC_PER_CHIP = 30.0
 
 
-def _model(debug: bool):
+def _model(debug: bool, size: str = "proxy"):
     import jax.numpy as jnp
     from navillm_tpu.models import llama as L
     from navillm_tpu.models import nav_model as NM
@@ -44,10 +44,16 @@ def _model(debug: bool):
 
     if debug:
         return NM.NavModelConfig.tiny(vocab_size=384)
-    llm = L.LlamaConfig(vocab_size=32128, hidden_size=2048,
-                        intermediate_size=5504, num_layers=16,
-                        num_heads=16, num_kv_heads=16,
-                        max_seq_len=1024, dtype=jnp.bfloat16)
+    if size == "7b":
+        # the TRUE reference scale: Vicuna-7B dims (reference
+        # models/nav_model.py:46-47), bf16 eval-only (~13.5 GB)
+        llm = L.LlamaConfig.vicuna_7b(vocab_size=32128,
+                                      max_seq_len=1024, dtype=jnp.bfloat16)
+    else:
+        llm = L.LlamaConfig(vocab_size=32128, hidden_size=2048,
+                            intermediate_size=5504, num_layers=16,
+                            num_heads=16, num_kv_heads=16,
+                            max_seq_len=1024, dtype=jnp.bfloat16)
     return NM.NavModelConfig(
         llm=llm, pano=PanoConfig(output_size=llm.hidden_size,
                                  dtype=jnp.bfloat16))
@@ -61,7 +67,7 @@ def bench_train_step(args):
     from navillm_tpu.testing import synthetic_nav_batch
     from navillm_tpu.training.optim import make_optimizer
 
-    cfg = _model(args.debug)
+    cfg = _model(args.debug, args.model)
     batch_size = args.batch or (2 if args.debug else 8)
     seq = args.seq or (64 if args.debug else 320)
     iters = min(args.iters, 5) if args.debug else args.iters
@@ -117,7 +123,7 @@ def bench_rollout(args):
     from navillm_tpu.sim import WorldModel
     from navillm_tpu.utils.config import ConfigDict, TrainArgs
 
-    cfg = _model(args.debug)
+    cfg = _model(args.debug, args.model)
     tok = NavTokenizer(max_length=1024, pad_to_multiple=128)
     # rebuild llm with tokenizer vocab for correct ids
     from navillm_tpu.models import llama as L
@@ -200,7 +206,7 @@ def bench_decode(args):
     from navillm_tpu.models import llama as L
     from navillm_tpu.models.decoding import generate
 
-    cfg = _model(args.debug).llm
+    cfg = _model(args.debug, args.model).llm
     params = L.init_params(jax.random.PRNGKey(0), cfg)
     b = args.batch or (2 if args.debug else 4)
     prompt = args.seq or (32 if args.debug else 256)
@@ -257,6 +263,9 @@ def main():
     ap.add_argument("--debug", action="store_true")
     ap.add_argument("--mode", default="rollout",
                     choices=["train_step", "rollout", "decode"])
+    ap.add_argument("--model", default="proxy",
+                    choices=["proxy", "7b"],
+                    help="proxy: 1.3B stand-in; 7b: true Vicuna-7B dims (bf16, eval modes)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--seq", type=int, default=None)
     ap.add_argument("--iters", type=int, default=20)

@@ -7,6 +7,14 @@ the first step), then `lax.scan` drives fixed-length decode steps with a
 static-shape KV cache. Greedy and low-temperature sampling are supported
 (scripts use greedy everywhere except SOON/REVERIE T=0.01), plus the
 dense-trie constraint for EQA (models/trie.py).
+
+Memory/perf structure: the WHOLE decode (prefill + scan) compiles as one
+executable per (batch, prompt-bucket, max_new_tokens) so (a) XLA aliases
+the KV cache in place instead of double-buffering it across the eager
+prefill->scan boundary (a 7B bf16 cache at b=4/cap~320 is ~1.3 GB — the
+eager layout OOM'd a 16 GB chip), and (b) prompt lengths are bucketed
+(left-pad to a multiple of `prompt_bucket`) so repeated calls with
+ragged prompts reuse the executable instead of re-tracing.
 """
 from __future__ import annotations
 
@@ -20,36 +28,21 @@ from . import llama as L
 from .trie import DenseTrie
 from ..ops.masking import NEG_INF
 
+# (cfg, b, prompt_len, max_new, do_sample, has_inject, has_mask, trie id)
+#   -> compiled decode executable
+_JIT_CACHE: Dict[Any, Any] = {}
 
-def generate(params, cfg: L.LlamaConfig, input_ids, attention_mask, *,
-             inject_positions=None, inject_embeds=None,
-             special_token_mask=None, eos_id: int, pad_id: int,
-             max_new_tokens: int, do_sample: bool = False,
-             temperature: float = 1.0, rng: Optional[jax.Array] = None,
-             trie: Optional[DenseTrie] = None) -> jnp.ndarray:
-    """Returns generated token ids [B, max_new_tokens] (pad after eos).
 
-    input_ids/attention_mask: [B, L] left-padded prompt.
-    inject_positions/embeds: soft-token injection at prefill.
-    """
-    b, prompt_len = input_ids.shape
-    capacity = prompt_len + max_new_tokens
-    vocab = params["lm_head"].shape[-1]
+def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
+                     pad_id: int, do_sample: bool,
+                     special_token_mask, trie: Optional[DenseTrie],
+                     loop: str = "scan"):
+    """Decode program: jitted prefill + either a scanned token loop
+    ("scan", one executable, best when the model fits comfortably) or an
+    eager Python token loop of per-token jits ("eager", required at 7B
+    scale — see step_one)."""
 
-    # ---- prefill ----
-    inputs_embeds = L.embed_with_injection(params, input_ids,
-                                           inject_positions, inject_embeds)
-    positions = jnp.maximum(
-        jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
-    cache = L.init_cache(cfg, b, capacity)
-    key_mask = jnp.concatenate(
-        [attention_mask, jnp.zeros((b, max_new_tokens), bool)], axis=1)
-    hidden, cache = L.forward_hidden(params, cfg, inputs_embeds, key_mask,
-                                     positions=positions, cache=cache,
-                                     cache_index=0)
-    prompt_lens = attention_mask.sum(axis=-1).astype(jnp.int32)   # [B]
-
-    def pick_token(logits, trie_state, step_rng):
+    def pick_token(logits, trie_state, step_rng, temperature, vocab):
         logits = logits.astype(jnp.float32)
         if special_token_mask is not None:
             logits = jnp.where(special_token_mask[None, :], NEG_INF, logits)
@@ -57,45 +50,174 @@ def generate(params, cfg: L.LlamaConfig, input_ids, attention_mask, *,
             allowed = trie.logits_mask(trie_state, vocab)
             logits = jnp.where(allowed, logits, NEG_INF)
         if do_sample:
-            tok = jax.random.categorical(step_rng, logits / max(temperature, 1e-6))
+            tok = jax.random.categorical(
+                step_rng, logits / jnp.maximum(temperature, 1e-6))
         else:
             tok = jnp.argmax(logits, axis=-1)
         return tok.astype(jnp.int32)
 
-    last_logits = (hidden[:, -1] @ params["lm_head"]).astype(jnp.float32)
-    trie_state0 = jnp.zeros((b,), jnp.int32)
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
-    rng, krng = jax.random.split(rng)
-    tok0 = pick_token(last_logits, trie_state0, krng)
-    done0 = tok0 == eos_id
-    out0 = jnp.where(done0, eos_id, tok0)
+    # TWO executables, not one: the prompt K/V stack (~1.1 GB at 7B/bs4)
+    # would be double-buffered by the token scan's carry if produced and
+    # consumed in the same program (the AOT backend's while-loop buffer
+    # assignment is conservative); as a plain INPUT to the second
+    # program it occupies a single allocation. Peak per program:
+    #   prefill: params + prompt_kv(out) + activations
+    #   scan:    params + prompt_kv(in) + 2x decode-region (~0.2 GB)
 
-    def step(carry, step_rng):
-        tok, trie_state, done, cache, i = carry
-        # i: 0-based index of the token being *fed*; writes at prompt_len+i
+    @jax.jit
+    def prefill(params, input_ids, attention_mask, inject_positions,
+                inject_embeds, rng, temperature):
+        vocab = params["lm_head"].shape[-1]
+        b = input_ids.shape[0]
+        inputs_embeds = L.embed_with_injection(params, input_ids,
+                                               inject_positions,
+                                               inject_embeds)
+        hidden, prompt_kv = L.forward_hidden(params, cfg, inputs_embeds,
+                                             attention_mask, return_kv=True)
+        last_logits = (hidden[:, -1] @ params["lm_head"]).astype(jnp.float32)
+        trie_state0 = jnp.zeros((b,), jnp.int32)
+        rng_, krng = jax.random.split(rng)
+        tok0 = pick_token(last_logits, trie_state0, krng, temperature, vocab)
+        done0 = tok0 == eos_id
+        out0 = jnp.where(done0, eos_id, tok0)
+        return out0, tok0, done0, trie_state0, prompt_kv, rng_
+
+    @jax.jit
+    def scan_tokens(params, prompt_kv, attention_mask, tok0, done0,
+                    trie_state0, rng, temperature):
+        b = attention_mask.shape[0]
+        vocab = params["lm_head"].shape[-1]
+        prompt_lens = attention_mask.sum(axis=-1).astype(jnp.int32)   # [B]
+        dec_cache = L.init_decode_cache(cfg, b, max_new_tokens)
+
+        def step(carry, step_rng):
+            tok, trie_state, done, dec_cache, i = carry
+            # i: 0-based index of the token being fed; writes dec slot i
+            emb = params["embed"][tok][:, None, :]
+            pos = (prompt_lens + i)[:, None]                # fed position
+            hidden, dec_cache = L.decode_step(
+                params, cfg, emb, prompt_kv, attention_mask, dec_cache,
+                i, pos)
+            logits = (hidden[:, -1] @ params["lm_head"]).astype(jnp.float32)
+            new_trie_state = trie.advance(trie_state, tok) \
+                if trie is not None else trie_state
+            nxt = pick_token(logits, new_trie_state, step_rng, temperature,
+                             vocab)
+            new_done = done | (nxt == eos_id)
+            out = jnp.where(done, pad_id, nxt)
+            return (nxt, new_trie_state, new_done, dec_cache, i + 1), out
+
+        step_rngs = jax.random.split(rng, max_new_tokens - 1)
+        (_, _, _, _, _), rest = jax.lax.scan(
+            step, (tok0, trie_state0, done0, dec_cache, jnp.int32(0)),
+            step_rngs)
+        return rest.swapaxes(0, 1)                          # [B, T-1]
+
+    @functools.partial(jax.jit, donate_argnames=("dec_cache",))
+    def step_one(params, prompt_kv, attention_mask, prompt_lens, tok, done,
+                 trie_state, dec_cache, i, step_rng, temperature):
+        """One eager-loop decode step. Its layer scan is TOP-LEVEL in the
+        executable (nesting it inside a token scan makes XLA hoist ~1 GB
+        layout copies of wq/wk/wv out of the outer while — 3 GB of HLO
+        temps that OOM 7B decode on a 16 GB chip). The Python token loop
+        dispatches asynchronously (no per-step sync), and dec_cache is
+        donated so the region updates in place across calls."""
+        vocab = params["lm_head"].shape[-1]
         emb = params["embed"][tok][:, None, :]
-        pos = (prompt_lens + 1 + i)[:, None] - 1            # next position
-        written = jnp.arange(max_new_tokens)[None, :] <= i
-        kmask = jnp.concatenate([attention_mask, written &
-                                 jnp.ones((b, max_new_tokens), bool)], axis=1)
-        hidden, new_cache = L.forward_hidden(
-            params, cfg, emb, kmask, positions=pos, cache=cache,
-            cache_index=prompt_len + i)
+        pos = (prompt_lens + i)[:, None]                    # fed position
+        hidden, dec_cache = L.decode_step(params, cfg, emb, prompt_kv,
+                                          attention_mask, dec_cache, i, pos)
         logits = (hidden[:, -1] @ params["lm_head"]).astype(jnp.float32)
         new_trie_state = trie.advance(trie_state, tok) if trie is not None \
             else trie_state
-        nxt = pick_token(logits, new_trie_state, step_rng)
+        nxt = pick_token(logits, new_trie_state, step_rng, temperature,
+                         vocab)
         new_done = done | (nxt == eos_id)
         out = jnp.where(done, pad_id, nxt)
-        return (nxt, new_trie_state, new_done, new_cache, i + 1), out
+        return out, nxt, new_done, new_trie_state, dec_cache
 
-    if max_new_tokens > 1:
-        step_rngs = jax.random.split(rng, max_new_tokens - 1)
-        (_, _, _, _, _), rest = jax.lax.scan(
-            step, (tok0, trie_state0, done0, cache, jnp.int32(0)), step_rngs)
-        rest = rest.swapaxes(0, 1)                          # [B, T-1]
-        return jnp.concatenate([out0[:, None], rest], axis=1)
-    return out0[:, None]
+    def decode(params, input_ids, attention_mask, inject_positions,
+               inject_embeds, rng, temperature):
+        out0, tok0, done0, trie_state0, prompt_kv, rng_ = prefill(
+            params, input_ids, attention_mask, inject_positions,
+            inject_embeds, rng, temperature)
+        if max_new_tokens <= 1:
+            return out0[:, None]
+        if loop == "scan":
+            rest = scan_tokens(params, prompt_kv, attention_mask, tok0,
+                               done0, trie_state0, rng_, temperature)
+            return jnp.concatenate([out0[:, None], rest], axis=1)
+        b = input_ids.shape[0]
+        prompt_lens = attention_mask.sum(axis=-1).astype(jnp.int32)
+        dec_cache = L.init_decode_cache(cfg, b, max_new_tokens)
+        rngs = jax.random.split(rng_, max_new_tokens - 1)
+        outs = [out0]
+        tok, done, trie_state = tok0, done0, trie_state0
+        for i in range(max_new_tokens - 1):
+            out, tok, done, trie_state, dec_cache = step_one(
+                params, prompt_kv, attention_mask, prompt_lens, tok, done,
+                trie_state, dec_cache, jnp.int32(i), rngs[i], temperature)
+            outs.append(out)
+        return jnp.stack(outs, axis=1)
+
+    return decode
+
+
+def generate(params, cfg: L.LlamaConfig, input_ids, attention_mask, *,
+             inject_positions=None, inject_embeds=None,
+             special_token_mask=None, eos_id: int, pad_id: int,
+             max_new_tokens: int, do_sample: bool = False,
+             temperature: float = 1.0, rng: Optional[jax.Array] = None,
+             trie: Optional[DenseTrie] = None,
+             prompt_bucket: int = 64, loop: str = "auto") -> jnp.ndarray:
+    """Returns generated token ids [B, max_new_tokens] (pad after eos).
+
+    input_ids/attention_mask: [B, L] left-padded prompt. Prompts are
+    left-padded further to a multiple of `prompt_bucket` so executables
+    are reused across ragged lengths.
+    """
+    import numpy as np
+
+    input_ids = np.asarray(input_ids)
+    attention_mask = np.asarray(attention_mask)
+    b, prompt_len = input_ids.shape
+    bl = -(-prompt_len // prompt_bucket) * prompt_bucket
+    if bl != prompt_len:
+        extra = bl - prompt_len
+        input_ids = np.pad(input_ids, ((0, 0), (extra, 0)),
+                           constant_values=pad_id)
+        attention_mask = np.pad(attention_mask, ((0, 0), (extra, 0)))
+        if inject_positions is not None:
+            ip = np.asarray(inject_positions)
+            inject_positions = np.where(ip >= 0, ip + extra, -1)
+    has_inject = inject_positions is not None
+
+    if loop == "auto":
+        # big stacks take the eager token loop (the scanned loop's hoisted
+        # weight-layout copies cost ~3 GB of HLO temps at 7B)
+        n_params = cfg.num_layers * cfg.hidden_size * (
+            4 * cfg.hidden_size + 3 * cfg.intermediate_size)
+        loop = "eager" if n_params > 3e9 else "scan"
+
+    key = (cfg, b, bl, max_new_tokens, bool(do_sample), has_inject,
+           special_token_mask is not None, eos_id, pad_id,
+           id(trie) if trie is not None else None, loop)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _build_decode_fn(cfg, max_new_tokens, eos_id, pad_id,
+                              bool(do_sample), special_token_mask, trie,
+                              loop=loop)
+        _JIT_CACHE[key] = fn
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if not has_inject:
+        # fixed zero-size placeholders keep the jit signature stable
+        inject_positions = np.full((b, 1), -1, np.int32)
+        inject_embeds = np.zeros((b, 1, cfg.hidden_size), np.float32)
+    return fn(params, jnp.asarray(input_ids),
+              jnp.asarray(attention_mask, bool),
+              jnp.asarray(inject_positions), jnp.asarray(inject_embeds),
+              rng, jnp.float32(temperature))
 
 
 def decode_to_text(tokenizer, generated_ids) -> list:

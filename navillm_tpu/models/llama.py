@@ -77,7 +77,11 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
 
     def dense(key, shape, scale=None):
         scale = scale if scale is not None else shape[-2] ** -0.5
-        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(cfg.dtype)
+        # sample directly in the target dtype: an fp32 intermediate for a
+        # 7B [L, h, i] stack is a ~6 GB transient that OOMs a 16 GB chip
+        # during init (values are fp32-sampled internally, then rounded)
+        return jax.random.normal(key, shape, cfg.dtype) * jnp.asarray(
+            scale, cfg.dtype)
 
     return {
         "embed": dense(keys[0], (v, h), scale=0.02),
@@ -140,93 +144,107 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
-def _layer(cfg: LlamaConfig, x, lp, cos, sin, kv_mask, cache_kv, cache_index,
-           attn_impl):
-    """One transformer block. cache_kv: None or (k, v) [B, S, NKV, D]."""
-    b, t, h = x.shape
+def _qkv(cfg: LlamaConfig, x, lp, cos, sin):
+    b, t, _ = x.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-
     attn_in = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
     q = (attn_in @ lp["wq"]).reshape(b, t, nh, d)
     k = (attn_in @ lp["wk"]).reshape(b, t, nkv, d)
     v = (attn_in @ lp["wv"]).reshape(b, t, nkv, d)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
-    new_cache = None
-    if cache_kv is not None:
-        ck, cv = cache_kv
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-        k, v = ck, cv
-        new_cache = (ck, cv)
-        # causality over the cache window is baked into the 3D kv_mask
-        causal = False
-    else:
-        causal = True
 
-    attn = multi_head_attention(q, k, v, kv_mask=kv_mask, causal=causal,
-                                impl=attn_impl)
-    x = x + attn.reshape(b, t, nh * d) @ lp["wo"]
-
+def _post_attn(cfg: LlamaConfig, x, lp, attn):
+    b, t, _ = x.shape
+    x = x + attn.reshape(b, t, cfg.num_heads * cfg.head_dim) @ lp["wo"]
     mlp_in = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
     gate = jax.nn.silu(mlp_in @ lp["w_gate"])
-    x = x + (gate * (mlp_in @ lp["w_up"])) @ lp["w_down"]
-    return x, new_cache
+    return x + (gate * (mlp_in @ lp["w_up"])) @ lp["w_down"]
+
+
+def _layer(cfg: LlamaConfig, x, lp, cos, sin, kv_mask, attn_impl):
+    """One transformer block (full self-attention over x). Returns
+    (y, (k, v)) — the post-rope K/V, for callers that cache them."""
+    q, k, v = _qkv(cfg, x, lp, cos, sin)
+    attn = multi_head_attention(q, k, v, kv_mask=kv_mask, causal=True,
+                                impl=attn_impl)
+    return _post_attn(cfg, x, lp, attn), (k, v)
 
 
 def forward_hidden(params, cfg: LlamaConfig, inputs_embeds, attention_mask,
-                   positions=None, cache=None, cache_index=None):
-    """Run the transformer stack; returns (hidden [B, T, H], new_cache).
+                   positions=None, return_kv: bool = False):
+    """Run the transformer stack; returns (hidden [B, T, H], kv).
 
-    attention_mask: [B, S] validity over keys. Without cache S == T and
-    positions default to cumsum(mask)-1 (correct under left padding).
-    With cache, S == cache capacity: attention_mask marks *written,
-    non-pad* slots, queries write at cache_index..cache_index+T, and a
-    causal window mask is derived internally; positions are required.
+    attention_mask: [B, T] validity over keys; positions default to
+    cumsum(mask)-1 (correct under left padding). With return_kv=True the
+    per-layer post-rope K/V come back stacked [L, B, T, NKV, D] (the
+    read-only prompt cache for decode_step); otherwise kv is None.
     """
     b, t, _ = inputs_embeds.shape
     if positions is None:
-        if cache is not None:
-            raise ValueError("positions are required in cache mode")
         positions = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
         positions = jnp.maximum(positions, 0)
     cos, sin = rope_tables(cfg, positions)
 
     x = inputs_embeds.astype(cfg.dtype)
-    layers = params["layers"]
 
-    if cache is None:
-        def body(x, lp):
-            y, _ = _layer(cfg, x, lp, cos, sin, attention_mask, None, None,
-                          cfg.attn_impl)
-            return y, None
-        if cfg.remat:
-            body = jax.checkpoint(body)
-        x, _ = jax.lax.scan(body, x, layers)
-        new_cache = None
-    else:
-        s = cache["k"].shape[2]
-        kj = jnp.arange(s)[None, :]
-        qi = jnp.arange(t)[:, None]
-        window = kj <= (cache_index + qi)            # [T, S] causal window
-        mask3 = attention_mask[:, None, :] & window[None]
-
-        def body(x, layer_in):
-            lp, ck, cv = layer_in
-            y, new_kv = _layer(cfg, x, lp, cos, sin, mask3,
-                               (ck, cv), cache_index, "xla")
-            return y, new_kv
-        x, new_kv = jax.lax.scan(body, x, (layers, cache["k"], cache["v"]))
-        new_cache = {"k": new_kv[0], "v": new_kv[1]}
-
+    def body(x, lp):
+        y, kv = _layer(cfg, x, lp, cos, sin, attention_mask, cfg.attn_impl)
+        return y, (kv if return_kv else None)
+    if cfg.remat and not return_kv:
+        body = jax.checkpoint(body)
+    x, kv = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    return x, new_cache
+    return x, ({"k": kv[0], "v": kv[1]} if return_kv else None)
 
 
-def init_cache(cfg: LlamaConfig, batch_size: int, max_len: int):
-    shape = (cfg.num_layers, batch_size, max_len, cfg.num_kv_heads, cfg.head_dim)
-    return {"k": jnp.zeros(shape, cfg.dtype), "v": jnp.zeros(shape, cfg.dtype)}
+def init_decode_cache(cfg: LlamaConfig, batch_size: int, max_new: int):
+    """Decode-region KV cache [L, B, max_new, NKV, D] — only the newly
+    generated tokens live here. The prompt's K/V stay in the read-only
+    stack returned by forward_hidden(return_kv=True), which the token
+    loop does NOT carry: carrying a full prompt+decode cache (7B bf16 at
+    bs4/cap~320 is ~1.3 GB) double-buffers across the scan and OOM'd a
+    16 GB chip, while this carried region is ~50 tokens (~0.2 GB)."""
+    shape = (cfg.num_layers, batch_size, max_new, cfg.num_kv_heads,
+             cfg.head_dim)
+    return {"k": jnp.zeros(shape, cfg.dtype),
+            "v": jnp.zeros(shape, cfg.dtype)}
+
+
+def decode_step(params, cfg: LlamaConfig, inputs_embeds, prompt_kv,
+                prompt_mask, dec_cache, step_index, positions):
+    """One-token decode step against (read-only prompt KV) + (carried
+    decode-region KV). inputs_embeds [B, 1, H]; prompt_kv {"k","v"}
+    [L, B, T, NKV, D]; prompt_mask [B, T]; dec_cache {"k","v"}
+    [L, B, N, NKV, D] written at step_index. positions [B, 1].
+    Returns (hidden [B, 1, H], new dec_cache)."""
+    b = inputs_embeds.shape[0]
+    n_dec = dec_cache["k"].shape[2]
+    cos, sin = rope_tables(cfg, positions)
+    dec_mask = (jnp.arange(n_dec)[None, :] <= step_index)   # incl. current
+    kv_mask = jnp.concatenate(
+        [prompt_mask, jnp.broadcast_to(dec_mask, (b, n_dec))], axis=1)
+
+    x = inputs_embeds.astype(cfg.dtype)
+
+    def body(x, layer_in):
+        lp, pk, pv, dk, dv = layer_in
+        q, k, v = _qkv(cfg, x, lp, cos, sin)
+        dk = jax.lax.dynamic_update_slice(
+            dk, k.astype(dk.dtype), (0, step_index, 0, 0))
+        dv = jax.lax.dynamic_update_slice(
+            dv, v.astype(dv.dtype), (0, step_index, 0, 0))
+        keys = jnp.concatenate([pk, dk], axis=1)
+        vals = jnp.concatenate([pv, dv], axis=1)
+        attn = multi_head_attention(q, keys, vals, kv_mask=kv_mask,
+                                    causal=False, impl="xla")
+        return _post_attn(cfg, x, lp, attn), (dk, dv)
+
+    x, new_kv = jax.lax.scan(
+        body, x, (params["layers"], prompt_kv["k"], prompt_kv["v"],
+                  dec_cache["k"], dec_cache["v"]))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, {"k": new_kv[0], "v": new_kv[1]}
 
 
 def embed_with_injection(params, input_ids, special_positions=None,

@@ -100,3 +100,20 @@ def test_cached_decode_matches_full_forward():
             if want[bi, k] == 2:
                 break
             assert got_np[bi, k] == want[bi, k], (bi, k, got_np[bi], want[bi])
+
+
+def test_eager_decode_loop_matches_scan_loop():
+    """The 7B-scale eager token loop (per-token jits, donated decode
+    cache) produces the same tokens as the single-executable scan loop."""
+    p = _params()
+    b, t, n_new = 2, 12, 6
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(3, 100, size=(b, t)), jnp.int32)
+    mask = jnp.ones((b, t), bool).at[0, :4].set(False)
+    ids = ids.at[0, :4].set(0)
+
+    got_scan = np.asarray(generate(p, CFG, ids, mask, eos_id=2, pad_id=0,
+                                   max_new_tokens=n_new, loop="scan"))
+    got_eager = np.asarray(generate(p, CFG, ids, mask, eos_id=2, pad_id=0,
+                                    max_new_tokens=n_new, loop="eager"))
+    np.testing.assert_array_equal(got_scan, got_eager)
