@@ -113,8 +113,8 @@ def reset_slots(state, reset_mask):
 
 
 def eval_step(params, cfg, pano_apply, state, pano_in, batch, reset_mask,
-              cur_ids, cand_ids, active_mask, rng, do_sample: bool,
-              temperature):
+              cur_ids, cand_ids, active_mask, a_t_override, rng,
+              do_sample: bool, temperature):
     """ONE fused evaluation step: reset refilled slots -> panorama ->
     memory update -> navigation forward -> action select -> history
     append. A single executable per rollout step (the per-call relay
@@ -123,6 +123,9 @@ def eval_step(params, cfg, pano_apply, state, pano_in, batch, reset_mask,
 
     pano_apply(params, rng, pano_in, deterministic) -> dict with
     pano_embeds/pano_masks (the runner's closure, dropout off here).
+    a_t_override [B] int32: force the action for rows >= 0 (the EQA
+    oracle pass follows teacher actions through the same machinery,
+    reference mp3d_agent.py:576-584); -1 keeps the policy action.
     Returns (new_state, a_t [B] int32, logits [B, G] fp32).
     """
     state = reset_slots(state, reset_mask)
@@ -137,6 +140,7 @@ def eval_step(params, cfg, pano_apply, state, pano_in, batch, reset_mask,
     else:
         a_t = jnp.argmax(logits, axis=-1)
     a_t = a_t.astype(jnp.int32)
+    a_t = jnp.where(a_t_override >= 0, a_t_override, a_t)
     state = hist_append(state, fuse, jnp.where(active_mask, a_t, -1))
     return state, a_t, logits
 

@@ -428,12 +428,27 @@ class MP3DAgent:
         end' straggler bubble of the reference rollout). Policy
         semantics per step are identical to rollout(feedback=argmax).
 
-        EQA (which needs a second oracle pass + trie generation at the
-        final step) falls back to the batched path.
+        EQA runs fully streamed too: trie-constrained generation fires
+        per finishing slot (batched like the OG queue), and the oracle
+        second pass (reference mp3d_agent.py:576-584) re-enqueues the
+        finished sample into the SAME slot with teacher actions forced
+        via a_t_override. Test-mode summarization rides the same
+        generation queue.
         """
+        trie = None
         if name in ("EQA",):
-            return self.validate(name, args, config, loader,
-                                 dataset=dataset, **kwargs)
+            trie_seqs = [self.runner.tok.encode(w, add_bos=True)
+                         for w in dataset.answer_vocab]
+            trie = DenseTrie(trie_seqs, eos_id=self.runner.tok.eos_id)
+
+        def needs_generation(sl):
+            if sl.data_type == "eqa":
+                return True
+            return (sl.data_type in ("r2r", "soon", "reverie", "r2r_aug",
+                                     "reverie_aug")
+                    and args.enable_summarize and args.mode == "test")
+
+        eqa_oracle = name in ("EQA",)
         feedback = "sample" if args.do_sample else "argmax"
         max_action_len = config.Optim.val_max_action_len[name]
         assert max_action_len <= self.dims.max_hist, (
@@ -452,10 +467,22 @@ class MP3DAgent:
         samples = sample_iter()
         results: Dict[str, dict] = {}
         og_queue: List[dict] = []
+        gen_queue: List[dict] = []
 
         class Slot:
             __slots__ = ("ob", "env", "item", "data_type", "gmap", "traj",
-                         "history", "hist_vis", "t", "active", "instruction")
+                         "history", "hist_vis", "t", "active", "instruction",
+                         "oracle")
+
+        def _init_episode(slot):
+            slot.gmap = GraphMap(slot.ob["viewpoint"])
+            slot.gmap.update_graph(slot.ob)
+            slot.history = []
+            slot.hist_vis = []
+            slot.t = 0
+            slot.active = True
+            slot.instruction = slot.ob["instruction"]
+            self.update_scanvp_cands([slot.ob])
 
         def fill(slot) -> bool:
             try:
@@ -467,17 +494,26 @@ class MP3DAgent:
             slot.env = s["env"]
             slot.item = s["item"]
             slot.data_type = s["data_type"]
-            slot.gmap = GraphMap(slot.ob["viewpoint"])
-            slot.gmap.update_graph(slot.ob)
             slot.traj = {"instr_id": s["instr_id"],
                          "path": [[slot.ob["viewpoint"]]], "details": {}}
-            slot.history = []
-            slot.hist_vis = []
-            slot.t = 0
-            slot.active = True
-            slot.instruction = slot.ob["instruction"]
-            self.update_scanvp_cands([slot.ob])
+            slot.oracle = False
+            _init_episode(slot)
             return True
+
+        def restart_as_oracle(slot):
+            """Re-run the SAME sample with teacher actions (EQA oracle
+            pass, reference mp3d_agent.py:576-584): fresh episode, fresh
+            graph memory; the generated answer lands in the existing
+            results entry as oracle_pred_answer."""
+            item = slot.item
+            slot.env.new_episodes([item["scan"]], [item["path"][0]],
+                                  [item.get("heading") or 0.0])
+            slot.ob = dataset.get_obs(items=[item], env=slot.env,
+                                      data_type=slot.data_type)[0]
+            slot.traj = {"instr_id": slot.traj["instr_id"],
+                         "path": [[slot.ob["viewpoint"]]], "details": {}}
+            slot.oracle = True
+            _init_episode(slot)
 
         slots = []
         for _ in range(num_slots):
@@ -499,6 +535,15 @@ class MP3DAgent:
             del og_queue[: len(batch)]
             pad = batch + [batch[-1]] * (num_slots - len(batch))
             self._streaming_og(args, pad, n_real=len(batch))
+
+        def flush_gen(force=False):
+            if not gen_queue or (not force and len(gen_queue) < num_slots):
+                return
+            batch = gen_queue[: num_slots]
+            del gen_queue[: len(batch)]
+            pad = batch + [batch[-1]] * (num_slots - len(batch))
+            self._streaming_generation(args, pad, n_real=len(batch),
+                                       trie=trie, results=results)
 
         use_mem = getattr(self.runner, "device_memory", True)
         mem_state = self.runner.memory_init(num_slots) if use_mem else None
@@ -594,6 +639,18 @@ class MP3DAgent:
                 "attention_mask": tok_batch.attention_mask,
                 "cls_pos": cls_pos,
             }
+            # oracle slots follow the expert policy: teacher actions are
+            # host-computable (shortest-path argmin, no model needed)
+            a_t_override = np.full(num_slots, -1, np.int32)
+            for i, sl in enumerate(active):
+                if sl.active and getattr(sl, "oracle", False):
+                    tgt = self.teacher_action(
+                        [sl.ob], [gmap_in["gmap_vpids"][i]],
+                        np.zeros(1, bool),
+                        visited_masks=gmap_in["gmap_visited_masks"][i:i + 1],
+                        imitation_learning=True, t=sl.t)[0]
+                    a_t_override[i] = max(int(tgt), 0)
+
             if use_mem:
                 M = mem_state["mem_sum"].shape[1]
                 slot_ids = np.full(gmap_in["gmap_masks"].shape, -1, np.int32)
@@ -612,7 +669,7 @@ class MP3DAgent:
                 with self.timer.stage("nav_device"):
                     mem_state, a_t, _ = self.runner.eval_step(
                         mem_state, pano_inputs, nav_batch, reset_rows,
-                        cur_ids, cand_ids, real_mask,
+                        cur_ids, cand_ids, real_mask, a_t_override,
                         do_sample=(feedback == "sample"),
                         temperature=getattr(args, "temperature", 1.0))
                 fuse_embeds = None
@@ -634,6 +691,7 @@ class MP3DAgent:
                         for p in probs.astype(np.float64)])
                 else:
                     a_t = logits.argmax(1)
+                a_t = np.where(a_t_override >= 0, a_t_override, a_t)
 
             nav_vpids = gmap_in["gmap_vpids"]
             reset_rows = np.zeros(num_slots, bool)
@@ -647,7 +705,10 @@ class MP3DAgent:
                 stop = (a_t[i] == 0) or gmap_in["no_vp_left"][i] \
                     or sl.t >= max_action_len
                 if stop:
-                    if sl.data_type in ("soon", "reverie") and args.enable_og:
+                    need_og = sl.data_type in ("soon", "reverie") \
+                        and args.enable_og and not sl.oracle
+                    need_gen = needs_generation(sl)
+                    if need_og or need_gen:
                         if use_mem:
                             buf = np.asarray(mem_state["hist_buf"][i])
                             cnt = int(np.asarray(mem_state["hist_cnt"][i]))
@@ -655,13 +716,23 @@ class MP3DAgent:
                                         range(min(cnt, buf.shape[0]))]
                         else:
                             hist_vis = list(sl.hist_vis)
-                        og_queue.append({
-                            "ob": sl.ob, "history": list(sl.history),
-                            "hist_vis": hist_vis,
-                            "instruction": sl.instruction,
-                            "traj": sl.traj})
-                    results[sl.traj["instr_id"]] = sl.traj
-                    fill(sl)
+                        snap = {"ob": sl.ob, "history": list(sl.history),
+                                "hist_vis": hist_vis,
+                                "instruction": sl.instruction,
+                                "traj": sl.traj, "oracle": sl.oracle,
+                                "data_type": sl.data_type}
+                        if need_og:
+                            og_queue.append(snap)
+                        if need_gen:
+                            gen_queue.append(snap)
+                    if not sl.oracle:
+                        results[sl.traj["instr_id"]] = sl.traj
+                        if eqa_oracle:
+                            restart_as_oracle(sl)
+                        else:
+                            fill(sl)
+                    else:
+                        fill(sl)
                     reset_rows[i] = True
                 else:
                     action = nav_vpids[i][a_t[i]]
@@ -676,8 +747,58 @@ class MP3DAgent:
             # (memory of refilled slots is zeroed inside the NEXT fused
             # eval step via reset_rows — no extra device call here)
             flush_og()
+            flush_gen()
         flush_og(force=True)
+        flush_gen(force=True)
         return get_results(results)
+
+    def _streaming_generation(self, args, snaps, n_real, trie, results):
+        """Batched generation (EQA answers / test-mode summarization) for
+        finished streaming slots — the per-slot analogue of the batched
+        final-step head (_generation_step eval branch). Oracle snapshots
+        write oracle_pred_answer into the existing results entry
+        (reference mp3d_agent.py:576-584)."""
+        obs = [sn["ob"] for sn in snaps]
+        pano_in = self.panorama_inputs(obs, with_objects=False,
+                                       twelve_views=True)
+        gen_rng = self.runner._next_rng()
+        b = len(snaps)
+        host_masks = (np.arange(pano_in["view_img_fts"].shape[1])[None, :]
+                      < pano_in["view_lens"][:, None])
+        nav_mask = (pano_in["nav_types"] == 1) & host_masks
+        cand_counts = nav_mask.sum(1)
+        C = int(max(cand_counts.max(), 1))
+        is_eqa = snaps[0]["data_type"] == "eqa"
+        mode = "embodied_qa" if is_eqa else "summarization"
+        prompts = [self.get_prompt(
+            mode, instruction=sn["instruction"],
+            hist_num=len(sn["history"]), cand_num=int(cand_counts[i]))
+            for i, sn in enumerate(snaps)]
+        tok_batch, cand_pos, hist_pos, _ = \
+            self.runner.tokenize_with_positions(prompts, max_cands=C)
+        pano_out = self.runner.panorama(pano_in, deterministic=True,
+                                        rng=gen_rng)
+        emb = self.runner.gen_embeds(pano_out["pano_embeds"], nav_mask)
+        inj_pos = np.concatenate([cand_pos, hist_pos], 1)
+        inj_emb = np.concatenate(
+            [emb[:, : cand_pos.shape[1]],
+             self.hist_arrays([sn["hist_vis"] for sn in snaps])], 1)
+        gen_ids = self.runner.generate(
+            tok_batch.input_ids, tok_batch.attention_mask, inj_pos, inj_emb,
+            max_new_tokens=50, do_sample=False,
+            trie=trie if is_eqa else None)
+        from ..models.decoding import decode_to_text
+        sentences = decode_to_text(self.runner.tok, gen_ids)
+        for i in range(n_real):
+            sn = snaps[i]
+            if sn["oracle"]:
+                entry = results.get(sn["traj"]["instr_id"])
+                if entry is not None:
+                    entry["oracle_pred_answer"] = sentences[i]
+            else:
+                sn["traj"]["generated_sentences"] = sentences[i]
+                sn["traj"]["answer"] = sn["ob"].get("answer", "") if is_eqa \
+                    else sn["instruction"]
 
     def _streaming_og(self, args, snaps, n_real):
         """Batched object-grounding for finished streaming slots."""

@@ -333,10 +333,12 @@ class NavModelRunner:
         @functools.partial(jax.jit, static_argnames=("do_sample",),
                            donate_argnames=("state",))
         def eval_step_fn(params, state, pano_in, batch, reset_mask, cur_ids,
-                         cand_ids, active_mask, rng, temperature, do_sample):
+                         cand_ids, active_mask, a_t_override, rng,
+                         temperature, do_sample):
             return DM.eval_step(params, cfg, pano_apply, state, pano_in,
                                 batch, reset_mask, cur_ids, cand_ids,
-                                active_mask, rng, do_sample, temperature)
+                                active_mask, a_t_override, rng, do_sample,
+                                temperature)
 
         @jax.jit
         def hist_append_fn(state, fuse_embeds, a_t):
@@ -564,18 +566,23 @@ class NavModelRunner:
         return self._mem_reset_fn(state, jnp.asarray(reset_mask))
 
     def eval_step(self, state, pano_inputs, batch, reset_mask, cur_ids,
-                  cand_ids, active_mask, do_sample: bool = False,
-                  temperature: float = 1.0):
+                  cand_ids, active_mask, a_t_override=None,
+                  do_sample: bool = False, temperature: float = 1.0):
         """ONE device call per streaming-eval rollout step (reset ->
         pano -> memory update -> nav forward -> action select -> hist
-        append). Returns (new_state, a_t np[B], logits device[B, G]).
-        Only a_t needs downloading; logits stay on device."""
+        append). a_t_override [B] (-1 = policy action) forces actions
+        for oracle rows. Returns (new_state, a_t np[B], logits
+        device[B, G]). Only a_t needs downloading; logits stay on
+        device."""
         pano_dev = self._pano_dev_inputs(pano_inputs)
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        if a_t_override is None:
+            a_t_override = np.full(len(cur_ids), -1, np.int32)
         state, a_t, logits = self._eval_step_fn(
             self.params, state, pano_dev, dev, jnp.asarray(reset_mask),
             jnp.asarray(cur_ids), jnp.asarray(cand_ids),
-            jnp.asarray(active_mask), self._next_rng(),
+            jnp.asarray(active_mask),
+            jnp.asarray(a_t_override, jnp.int32), self._next_rng(),
             jnp.float32(temperature), do_sample=do_sample)
         return state, np.asarray(a_t), logits
 

@@ -200,9 +200,11 @@ def val_one_epoch(args, cfg, runner, val_loaders, agents, datasets, epoch,
             logger.info("***** validate %s split on %s task *****"
                         % (args.validation_split, name))
         agent = agents[name]
+        # streaming handles every task now: EQA (trie generation +
+        # oracle re-enqueue) and test-mode summarization ride the
+        # per-slot generation queue
         use_streaming = getattr(args, "streaming_eval", False) and \
-            hasattr(agent, "validate_streaming") and \
-            not (args.mode == "test" and args.enable_summarize)
+            hasattr(agent, "validate_streaming")
         validate = agent.validate_streaming if use_streaming \
             else agent.validate
         preds = validate(name, args, cfg, loader, dataset=datasets[name])

@@ -126,3 +126,55 @@ def test_device_memory_matches_host_path(train_args, task_config, data_dir,
                                        dataset=ds)
         preds[dev_mem] = {p["instr_id"]: p["trajectory"] for p in out}
     assert preds[True] == preds[False]
+
+
+def test_streaming_eqa_with_oracle(train_args, task_config, data_dir,
+                                   runner):
+    """EQA streams end-to-end: trie-constrained answers per finishing
+    slot, plus the teacher-forced oracle second pass re-enqueued into
+    the same slot (reference mp3d_agent.py:530-590)."""
+    args = train_args
+    args.image_feat_size = runner.cfg.pano.image_feat_size
+    args.obj_feat_size = runner.cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    optim_cfg = ConfigDict({"Optim": {"val_max_action_len": {"EQA": 5},
+                                      "train_max_action_len": {"EQA": 4}}})
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("eqa", args, task_config, training=False, source="EQA",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size))
+    agent = load_agent("eqa", args, world, runner)
+    loader = Dataloader(ds, batch_size=1, shuffle=False)
+    preds = agent.validate_streaming("EQA", args, optim_cfg, loader,
+                                     dataset=ds)
+    assert len(preds) == len(ds)
+    for p in preds:
+        assert p["pred_answer"] in ds.answer_vocab
+        assert p["oracle_pred_answer"] in ds.answer_vocab
+    avg, _ = ds.eval_metrics(preds, None, "EQA")
+    assert "exact_match" in avg and "oracle_exact_match" in avg
+
+
+def test_streaming_summarization_test_mode(train_args, task_config, data_dir,
+                                           runner, optim_cfg):
+    """args.mode='test' + enable_summarize: every finished slot gets a
+    generated summary through the streaming generation queue."""
+    args = train_args
+    args.image_feat_size = runner.cfg.pano.image_feat_size
+    args.obj_feat_size = runner.cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    args.enable_summarize = True
+    args.mode = "test"
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size))
+    agent = load_agent("r2r", args, world, runner)
+    loader = Dataloader(ds, batch_size=2, shuffle=False)
+    preds = agent.validate_streaming("R2R", args, optim_cfg, loader,
+                                     dataset=ds)
+    assert len(preds) == len(ds)
+    # summarization writes generated_sentences + answer onto each traj,
+    # surfaced by get_results as pred/gt answers
+    for p in preds:
+        assert "pred_answer" in p and isinstance(p["pred_answer"], str)
