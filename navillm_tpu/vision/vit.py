@@ -36,6 +36,11 @@ class ViTConfig:
     style: str = "clip"            # clip | eva02
     ln_eps: float = 1e-6
     use_cls_token: bool = True
+    rope_theta: float = 100.0
+    # Pretraining patch grid for rope frequency interpolation (official
+    # `pt_seq_len`; positions are arange(grid)/grid*pt_grid). None -> no
+    # interpolation (positions are arange(grid)).
+    rope_pt_grid: int | None = None
     dtype: Any = jnp.float32
 
     @property
@@ -53,6 +58,7 @@ class ViTConfig:
     @classmethod
     def eva02_clip_l_14_336(cls, **kw) -> "ViTConfig":
         kw.setdefault("style", "eva02")
+        kw.setdefault("rope_pt_grid", 16)
         return cls(image_size=336, patch_size=14, width=1024, num_layers=24,
                    num_heads=16, mlp_ratio=4 * 2 / 3, **kw)
 
@@ -79,9 +85,12 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
                             cfg.dtype),
         "pos_embed": (jax.random.normal(next(ks), (cfg.seq_len, w),
                                         jnp.float32) * 0.02).astype(cfg.dtype),
-        "ln_pre": _ln(w, cfg.dtype),
         "ln_post": _ln(w, cfg.dtype),
     }
+    if cfg.style != "eva02":
+        # Official EVA-02 towers have no pre-LN (an identity-parameter
+        # LayerNorm still normalizes, so it cannot stand in for "absent").
+        p["ln_pre"] = _ln(w, cfg.dtype)
     if cfg.use_cls_token:
         p["cls_token"] = jnp.zeros((w,), cfg.dtype)
 
@@ -97,6 +106,7 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
     }
     if cfg.style == "eva02":
         layers.update({
+            "attn_ln": stack(lambda k: _ln(w, cfg.dtype)),
             "w1": stack(lambda k: _lin(k, w, cfg.mlp_dim, cfg.dtype)),
             "w2": stack(lambda k: _lin(k, w, cfg.mlp_dim, cfg.dtype)),
             "ffn_ln": stack(lambda k: _ln(cfg.mlp_dim, cfg.dtype)),
@@ -112,30 +122,43 @@ def init_vit_params(rng: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
 
 
 def _rope_2d(cfg: ViTConfig):
-    """2D axial rotary tables for patch tokens; identity on CLS."""
+    """2D axial rotary tables for patch tokens; identity on CLS.
+
+    Matches the official EVA-02 VisionRotaryEmbeddingFast exactly
+    (arXiv:2303.11331; rope dim = head_dim/2 per axis, theta=100,
+    lucidrains interleaved-pair layout: each frequency occupies an
+    adjacent channel pair, row angles fill the first half of the head
+    dim and column angles the second) so converted checkpoints need no
+    channel permutation."""
     d = cfg.width // cfg.num_heads
-    d4 = d // 4
-    freqs = 1.0 / (100.0 ** (jnp.arange(0, d4, dtype=jnp.float32) / d4))
+    d4 = d // 4                                    # freqs per axis
+    freqs = 1.0 / (cfg.rope_theta
+                   ** (jnp.arange(0, d4, dtype=jnp.float32) / d4))
     pos = jnp.arange(cfg.grid, dtype=jnp.float32)
+    if cfg.rope_pt_grid is not None:
+        # official ft_seq_len interpolation: t = arange(ft)/ft*pt
+        pos = pos / cfg.grid * cfg.rope_pt_grid
     ang = pos[:, None] * freqs[None, :]            # [G, d/4]
-    row = jnp.repeat(ang[:, None, :], cfg.grid, 1).reshape(-1, d4)
-    col = jnp.repeat(ang[None, :, :], cfg.grid, 0).reshape(-1, d4)
-    angles = jnp.concatenate([row, col], -1)       # [G*G, d/2]
+    ang = jnp.repeat(ang, 2, axis=-1)              # [G, d/2] pairs
+    row = jnp.repeat(ang[:, None, :], cfg.grid, 1).reshape(-1, d * 2 // 4)
+    col = jnp.repeat(ang[None, :, :], cfg.grid, 0).reshape(-1, d * 2 // 4)
+    angles = jnp.concatenate([row, col], -1)       # [G*G, d]
     cos = jnp.cos(angles)
     sin = jnp.sin(angles)
     if cfg.use_cls_token:
-        cos = jnp.concatenate([jnp.ones((1, d4 * 2)), cos], 0)
-        sin = jnp.concatenate([jnp.zeros((1, d4 * 2)), sin], 0)
+        cos = jnp.concatenate([jnp.ones((1, d)), cos], 0)
+        sin = jnp.concatenate([jnp.zeros((1, d)), sin], 0)
     return cos, sin
 
 
 def _apply_rope(x, cos, sin):
-    """x: [B, T, N, D]; rotate-half convention over the last dim."""
-    d2 = x.shape[-1] // 2
-    x1, x2 = x[..., :d2], x[..., d2:]
+    """x: [B, T, N, D]; interleaved-pair rotation (lucidrains
+    rotate_half: pair (2i, 2i+1) -> (-x_odd, x_even))."""
+    xp = x.reshape(*x.shape[:-1], -1, 2)
+    rot = jnp.stack([-xp[..., 1], xp[..., 0]], -1).reshape(x.shape)
     c = cos[None, :, None, :].astype(x.dtype)
     s = sin[None, :, None, :].astype(x.dtype)
-    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], -1)
+    return x * c + rot * s
 
 
 def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -158,7 +181,9 @@ def vit_forward_features(params, cfg: ViTConfig, images: jnp.ndarray
         cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.width))
         x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"][None]
-    x = layer_norm(x, params["ln_pre"]["s"], params["ln_pre"]["b"], cfg.ln_eps)
+    if cfg.style != "eva02":
+        x = layer_norm(x, params["ln_pre"]["s"], params["ln_pre"]["b"],
+                       cfg.ln_eps)
 
     nh = cfg.num_heads
     d = cfg.width // nh
@@ -176,7 +201,13 @@ def vit_forward_features(params, cfg: ViTConfig, images: jnp.ndarray
             q = _apply_rope(q, *rope)
             k = _apply_rope(k, *rope)
         attn = multi_head_attention(q, k, v, causal=False, impl="xla")
-        x = x + attn.reshape(b_, t, w_) @ lp["proj"]["w"] + lp["proj"]["b"]
+        attn = attn.reshape(b_, t, w_)
+        if cfg.style == "eva02":
+            # sub-LN (Magneto): extra LN on the attention output before
+            # the out-projection (official `inner_attn_ln`, subln=True).
+            attn = layer_norm(attn, lp["attn_ln"]["s"], lp["attn_ln"]["b"],
+                              cfg.ln_eps)
+        x = x + attn @ lp["proj"]["w"] + lp["proj"]["b"]
         y = layer_norm(x, lp["ln2"]["s"], lp["ln2"]["b"], cfg.ln_eps)
         if cfg.style == "eva02":
             h = jax.nn.silu(y @ lp["w1"]["w"] + lp["w1"]["b"]) * \
@@ -300,12 +331,12 @@ def convert_eva02_clip(state_dict, cfg: ViTConfig) -> Dict[str, Any]:
         "cls_token": jnp.asarray(g("visual.cls_token").reshape(-1), cfg.dtype),
         "pos_embed": jnp.asarray(g("visual.pos_embed").reshape(
             cfg.seq_len, cfg.width), cfg.dtype),
-        "ln_pre": {"s": jnp.ones((cfg.width,), cfg.dtype),
-                   "b": jnp.zeros((cfg.width,), cfg.dtype)},
         "ln_post": ln("visual.norm"),
         "layers": {
             "ln1": stack(lambda i: ln(f"visual.blocks.{i}.norm1")),
             "qkv": stack(qkv),
+            "attn_ln": stack(
+                lambda i: ln(f"visual.blocks.{i}.attn.inner_attn_ln")),
             "proj": stack(lambda i: lin(f"visual.blocks.{i}.attn.proj")),
             "ln2": stack(lambda i: ln(f"visual.blocks.{i}.norm2")),
             "w1": stack(lambda i: lin(f"visual.blocks.{i}.mlp.w1")),

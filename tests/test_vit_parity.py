@@ -1,4 +1,7 @@
-"""ViT parity vs HF CLIPVisionModel + eva02-path sanity."""
+"""ViT parity vs HF CLIPVisionModel + EVA-02 parity vs an independent
+torch implementation of the official tower semantics."""
+import math
+
 import numpy as np
 import pytest
 
@@ -7,8 +10,9 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
-from navillm_tpu.vision.vit import (ViTConfig, convert_hf_clip_vision,
-                                    init_vit_params, vit_forward_features)
+from navillm_tpu.vision.vit import (ViTConfig, convert_eva02_clip,
+                                    convert_hf_clip_vision, init_vit_params,
+                                    vit_forward_features)
 
 
 def test_clip_vit_parity_with_hf():
@@ -30,6 +34,122 @@ def test_clip_vit_parity_with_hf():
         out = hf(pixel_values=torch.tensor(imgs.transpose(0, 3, 1, 2)))
         # forward_features analogue: post-LN CLS
         ref = out.pooler_output.numpy()
+    got = np.asarray(vit_forward_features(params, cfg, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def _make_eva02_state_dict(cfg, seed=0):
+    """Random weights under the official EVA-CLIP `visual.*` names."""
+    g = torch.Generator().manual_seed(seed)
+    W, L, p = cfg.width, cfg.num_layers, cfg.patch_size
+    m = cfg.mlp_dim
+
+    def r(*shape, scale=0.05):
+        return torch.randn(*shape, generator=g) * scale
+
+    sd = {
+        "visual.patch_embed.proj.weight": r(W, 3, p, p),
+        "visual.patch_embed.proj.bias": r(W),
+        "visual.cls_token": r(1, 1, W),
+        "visual.pos_embed": r(1, cfg.seq_len, W),
+        "visual.norm.weight": 1 + r(W),
+        "visual.norm.bias": r(W),
+    }
+    for i in range(L):
+        b = f"visual.blocks.{i}."
+        sd.update({
+            b + "norm1.weight": 1 + r(W), b + "norm1.bias": r(W),
+            b + "attn.q_proj.weight": r(W, W),
+            b + "attn.k_proj.weight": r(W, W),
+            b + "attn.v_proj.weight": r(W, W),
+            b + "attn.q_bias": r(W), b + "attn.v_bias": r(W),
+            b + "attn.inner_attn_ln.weight": 1 + r(W),
+            b + "attn.inner_attn_ln.bias": r(W),
+            b + "attn.proj.weight": r(W, W), b + "attn.proj.bias": r(W),
+            b + "norm2.weight": 1 + r(W), b + "norm2.bias": r(W),
+            b + "mlp.w1.weight": r(m, W), b + "mlp.w1.bias": r(m),
+            b + "mlp.w2.weight": r(m, W), b + "mlp.w2.bias": r(m),
+            b + "mlp.ffn_ln.weight": 1 + r(m), b + "mlp.ffn_ln.bias": r(m),
+            b + "mlp.w3.weight": r(W, m), b + "mlp.w3.bias": r(W),
+        })
+    return sd
+
+
+def _torch_eva02_forward(sd, cfg, imgs_nchw):
+    """Independent torch EVA-02 tower: conv patchify, no pre-LN, per-block
+    [LN -> separate q/k/v (k bias-less) -> interleaved 2D rope on patch
+    tokens -> SDPA -> inner_attn_ln -> proj] and SwiGLU with ffn sub-LN,
+    final LN, CLS pooling (official EVA-CLIP eva_vit_model semantics)."""
+    import torch.nn.functional as F
+    W, nh, eps = cfg.width, cfg.num_heads, cfg.ln_eps
+    d, G = W // nh, cfg.grid
+
+    # rope tables (VisionRotaryEmbeddingFast convention)
+    d4 = d // 4
+    freqs = 1.0 / (cfg.rope_theta ** (torch.arange(d4).float() / d4))
+    t = torch.arange(G).float()
+    if cfg.rope_pt_grid is not None:
+        t = t / G * cfg.rope_pt_grid
+    ang = torch.einsum("i,j->ij", t, freqs).repeat_interleave(2, -1)  # [G,d/2]
+    row = ang[:, None, :].expand(G, G, d // 2)
+    col = ang[None, :, :].expand(G, G, d // 2)
+    full = torch.cat([row, col], -1).reshape(G * G, d)
+    cos, sin = full.cos(), full.sin()
+
+    def rot_half(x):
+        xp = x.reshape(*x.shape[:-1], -1, 2)
+        x1, x2 = xp.unbind(-1)
+        return torch.stack((-x2, x1), -1).reshape(x.shape)
+
+    def rope(x):  # [B, nh, N, d] patch tokens only
+        return x * cos + rot_half(x) * sin
+
+    def lnorm(x, name):
+        return F.layer_norm(x, (x.shape[-1],), sd[name + ".weight"],
+                            sd[name + ".bias"], eps)
+
+    x = F.conv2d(imgs_nchw, sd["visual.patch_embed.proj.weight"],
+                 sd["visual.patch_embed.proj.bias"], stride=cfg.patch_size)
+    B = x.shape[0]
+    x = x.flatten(2).transpose(1, 2)                       # [B, G*G, W]
+    cls = sd["visual.cls_token"].expand(B, -1, -1)
+    x = torch.cat([cls, x], 1) + sd["visual.pos_embed"]
+
+    T = x.shape[1]
+    for i in range(cfg.num_layers):
+        b = f"visual.blocks.{i}."
+        y = lnorm(x, b + "norm1")
+        q = y @ sd[b + "attn.q_proj.weight"].T + sd[b + "attn.q_bias"]
+        k = y @ sd[b + "attn.k_proj.weight"].T
+        v = y @ sd[b + "attn.v_proj.weight"].T + sd[b + "attn.v_bias"]
+        q, k, v = (z.reshape(B, T, nh, d).transpose(1, 2) for z in (q, k, v))
+        q = torch.cat([q[:, :, :1], rope(q[:, :, 1:])], 2)
+        k = torch.cat([k[:, :, :1], rope(k[:, :, 1:])], 2)
+        attn = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(d), -1) @ v
+        attn = attn.transpose(1, 2).reshape(B, T, W)
+        attn = lnorm(attn, b + "attn.inner_attn_ln")
+        x = x + attn @ sd[b + "attn.proj.weight"].T + sd[b + "attn.proj.bias"]
+        y = lnorm(x, b + "norm2")
+        h = F.silu(y @ sd[b + "mlp.w1.weight"].T + sd[b + "mlp.w1.bias"]) * \
+            (y @ sd[b + "mlp.w2.weight"].T + sd[b + "mlp.w2.bias"])
+        h = lnorm(h, b + "mlp.ffn_ln")
+        x = x + h @ sd[b + "mlp.w3.weight"].T + sd[b + "mlp.w3.bias"]
+    return lnorm(x, "visual.norm")[:, 0]
+
+
+@pytest.mark.parametrize("pt_grid", [None, 16])
+def test_eva02_parity_with_independent_torch(pt_grid):
+    """JAX eva02 path + converter vs the independent torch tower."""
+    cfg = ViTConfig(image_size=28, patch_size=14, width=64, num_layers=2,
+                    num_heads=4, mlp_ratio=8 / 3, style="eva02",
+                    ln_eps=1e-6, rope_pt_grid=pt_grid)
+    sd = _make_eva02_state_dict(cfg, seed=3)
+    rng = np.random.RandomState(4)
+    imgs = rng.randn(3, 28, 28, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_eva02_forward(
+            sd, cfg, torch.tensor(imgs.transpose(0, 3, 1, 2))).numpy()
+    params = convert_eva02_clip({k: v.numpy() for k, v in sd.items()}, cfg)
     got = np.asarray(vit_forward_features(params, cfg, jnp.asarray(imgs)))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
