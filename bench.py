@@ -36,6 +36,15 @@ REF_EPISODES_PER_SEC_PER_CHIP = 0.84
 REF_DECODE_TOK_PER_SEC_PER_CHIP = 30.0
 
 
+def _scale_tag(args) -> str:
+    """Honest model-scale tag for the metric label: the per-A100
+    baselines are 7B estimates, so proxy-model ratios overstate the
+    true-scale comparison (VERDICT r1; 7B anchors in PERFORMANCE.md)."""
+    if args.debug:
+        return "debug-tiny"
+    return "Vicuna-7B dims" if args.model == "7b" else "1.3B proxy"
+
+
 def _model(debug: bool, size: str = "proxy"):
     import jax.numpy as jnp
     from navillm_tpu.models import llama as L
@@ -102,7 +111,8 @@ def bench_train_step(args):
         times.append(time.perf_counter() - t0)
     step_t = statistics.median(times)
     v = batch_size / step_t
-    return {"metric": "nav_train_steps/sec (batched episodes, 1 chip)",
+    return {"metric": f"nav_train_steps/sec (batched episodes, 1 chip, "
+                      f"{_scale_tag(args)})",
             "value": round(v, 3), "unit": "model-steps/sec",
             "vs_baseline": round(v / REF_STEPS_PER_SEC_PER_CHIP, 3)}
 
@@ -195,7 +205,8 @@ def bench_rollout(args):
     if args.timing:
         print(agent.timer.report(), file=sys.stderr)
     v = n_episodes / dt
-    return {"metric": "episodes/sec (streaming greedy eval, 1 chip)",
+    return {"metric": f"episodes/sec (streaming greedy eval, 1 chip, "
+                      f"{_scale_tag(args)})",
             "value": round(v, 3), "unit": "episodes/sec",
             "vs_baseline": round(v / REF_EPISODES_PER_SEC_PER_CHIP, 3)}
 
@@ -229,7 +240,8 @@ def bench_decode(args):
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)
     v = b * new / dt
-    return {"metric": "decode tokens/sec/chip (KV-cache greedy)",
+    return {"metric": f"decode tokens/sec/chip (KV-cache greedy, "
+                      f"{_scale_tag(args)})",
             "value": round(v, 3), "unit": "tokens/sec",
             "vs_baseline": round(v / REF_DECODE_TOK_PER_SEC_PER_CHIP, 3)}
 
