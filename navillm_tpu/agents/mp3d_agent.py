@@ -515,53 +515,82 @@ class MP3DAgent:
             slot.oracle = True
             _init_episode(slot)
 
-        slots = []
-        for _ in range(num_slots):
-            sl = Slot()
-            if fill(sl):
-                slots.append(sl)
-        if not slots:
+        use_mem = getattr(self.runner, "device_memory", True)
+        # TWO slot groups pipeline the memory path: while the device runs
+        # group A's fused step (dispatch is async, only a_t is ever
+        # downloaded), the host retires group B's previous actions
+        # (env step, get_obs, refill) and assembles + dispatches B's next
+        # step. In steady state the chip is never idle waiting for host
+        # work and the host never waits except to materialize a finished
+        # step's a_t. The host path syncs on full logits, so it stays
+        # single-stream.
+        n_streams = 2 if use_mem else 1
+
+        class Stream:
+            __slots__ = ("slots", "mem_state", "reset_rows", "pending",
+                         "pano_inputs", "gmap_in", "nav_batch", "cur_ids",
+                         "cand_ids", "real_mask", "a_t_override", "a_t",
+                         "fuse_embeds")
+
+        streams: List[Stream] = []
+        for _ in range(n_streams):
+            st = Stream()
+            st.slots = []
+            for _ in range(num_slots):
+                sl = Slot()
+                if fill(sl):
+                    st.slots.append(sl)
+            if not st.slots:
+                break
+            # datasets smaller than the slot count shrink the (fixed)
+            # width; a second stream only forms if samples remain
+            st.mem_state = (self.runner.memory_init(len(st.slots))
+                            if use_mem else None)
+            # slots refilled last iteration; their device memory is
+            # zeroed at the start of the fused step
+            st.reset_rows = np.zeros(len(st.slots), bool)
+            st.pending = False
+            streams.append(st)
+        if not streams:
             return []
-        # datasets smaller than the slot count shrink the (fixed) width
-        num_slots = len(slots)
+        flush_width = len(streams[0].slots)
         if self._prefetcher is None and dataset is not None \
                 and getattr(dataset, "feat_db", None) is not None:
             self._prefetcher = FeaturePrefetcher(dataset.feat_db)
 
         def flush_og(force=False):
-            if not og_queue or (not force and len(og_queue) < num_slots):
+            if not og_queue or (not force and len(og_queue) < flush_width):
                 return
-            batch = og_queue[: num_slots]
+            batch = og_queue[: flush_width]
             del og_queue[: len(batch)]
-            pad = batch + [batch[-1]] * (num_slots - len(batch))
+            pad = batch + [batch[-1]] * (flush_width - len(batch))
             self._streaming_og(args, pad, n_real=len(batch))
 
         def flush_gen(force=False):
-            if not gen_queue or (not force and len(gen_queue) < num_slots):
+            if not gen_queue or (not force and len(gen_queue) < flush_width):
                 return
-            batch = gen_queue[: num_slots]
+            batch = gen_queue[: flush_width]
             del gen_queue[: len(batch)]
-            pad = batch + [batch[-1]] * (num_slots - len(batch))
+            pad = batch + [batch[-1]] * (flush_width - len(batch))
             self._streaming_generation(args, pad, n_real=len(batch),
                                        trie=trie, results=results)
 
-        use_mem = getattr(self.runner, "device_memory", True)
-        mem_state = self.runner.memory_init(num_slots) if use_mem else None
-        # slots refilled last iteration; their device memory is zeroed at
-        # the start of the fused step (one executable per rollout step)
-        reset_rows = np.zeros(num_slots, bool)
-
-        while any(sl.active for sl in slots):
+        def _pre(st: Stream) -> bool:
+            """Host assembly of st's next step inputs. False once the
+            stream has no active slots (dataset drained)."""
+            if not any(sl.active for sl in st.slots):
+                return False
             # FIXED slot->row binding: every slot occupies its batch row
             # each iteration (inactive rows are stale and ignored), so
             # device shapes and the memory buffers never shuffle
-            active = slots
-            real_mask = np.array([sl.active for sl in slots])
+            active = st.slots
+            n = len(active)
+            st.real_mask = np.array([sl.active for sl in active])
             obs = [sl.ob for sl in active]
             gmaps = [sl.gmap for sl in active]
             if self._prefetcher is not None:
                 self._prefetcher.prefetch_candidates(
-                    [sl.ob for sl in slots if sl.active])
+                    [sl.ob for sl in active if sl.active])
             for sl in active:
                 if sl.active:
                     sl.gmap.node_step_ids[sl.ob["viewpoint"]] = sl.t + 1
@@ -574,23 +603,22 @@ class MP3DAgent:
 
             if use_mem:
                 # bookkeeping ids for the on-chip memory update (the
-                # update itself runs inside the fused eval step below)
-                M = mem_state["mem_sum"].shape[1]
-                cur_ids = np.full(num_slots, -1, np.int32)
-                cand_ids = np.full(
-                    (num_slots, pano_inputs["view_img_fts"].shape[1]), -1,
-                    np.int32)
+                # update itself runs inside the fused eval step)
+                M = st.mem_state["mem_sum"].shape[1]
+                st.cur_ids = np.full(n, -1, np.int32)
+                st.cand_ids = np.full(
+                    (n, pano_inputs["view_img_fts"].shape[1]), -1, np.int32)
                 for i, sl in enumerate(active):
                     if not sl.active:
                         continue
                     gidx = sl.gmap.graph.index
                     cid = gidx.get(sl.ob["viewpoint"], -1)
-                    cur_ids[i] = cid if cid < M else -1
+                    st.cur_ids[i] = cid if cid < M else -1
                     for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
                         if not sl.gmap.visited(cvp):
                             nid = gidx.get(cvp, -1)
                             if 0 <= nid < M:
-                                cand_ids[i, j] = nid
+                                st.cand_ids[i, j] = nid
                 pano_embeds_np = None
             else:
                 with self.timer.stage("pano_device"):
@@ -641,7 +669,7 @@ class MP3DAgent:
             }
             # oracle slots follow the expert policy: teacher actions are
             # host-computable (shortest-path argmin, no model needed)
-            a_t_override = np.full(num_slots, -1, np.int32)
+            st.a_t_override = np.full(n, -1, np.int32)
             for i, sl in enumerate(active):
                 if sl.active and getattr(sl, "oracle", False):
                     tgt = self.teacher_action(
@@ -649,10 +677,10 @@ class MP3DAgent:
                         np.zeros(1, bool),
                         visited_masks=gmap_in["gmap_visited_masks"][i:i + 1],
                         imitation_learning=True, t=sl.t)[0]
-                    a_t_override[i] = max(int(tgt), 0)
+                    st.a_t_override[i] = max(int(tgt), 0)
 
             if use_mem:
-                M = mem_state["mem_sum"].shape[1]
+                M = st.mem_state["mem_sum"].shape[1]
                 slot_ids = np.full(gmap_in["gmap_masks"].shape, -1, np.int32)
                 for i, sl in enumerate(active):
                     gidx = sl.gmap.graph.index
@@ -662,28 +690,34 @@ class MP3DAgent:
                             if 0 <= nid < M:
                                 slot_ids[i, k] = nid
                 nav_batch["slot_ids"] = slot_ids
-                # ONE device call: reset refills -> pano -> mem update ->
-                # nav forward -> action select -> hist append. Downloads
-                # only a_t (per-call relay latency dominated the old
-                # 4-call chain); logits stay on device.
-                with self.timer.stage("nav_device"):
-                    mem_state, a_t, _ = self.runner.eval_step(
-                        mem_state, pano_inputs, nav_batch, reset_rows,
-                        cur_ids, cand_ids, real_mask, a_t_override,
-                        do_sample=(feedback == "sample"),
-                        temperature=getattr(args, "temperature", 1.0))
-                fuse_embeds = None
             else:
                 nav_batch["gmap_img_embeds"] = gmap_in["gmap_img_embeds"]
                 nav_batch["vp_img_embeds"] = vp_in["vp_img_embeds"]
                 nav_batch["hist_embeds"] = self.hist_arrays(
                     [sl.hist_vis for sl in active])
-                with self.timer.stage("nav_device"):
-                    logits, fuse_embeds, _ = self.runner.navigation(nav_batch)
+            st.pano_inputs = pano_inputs
+            st.gmap_in = gmap_in
+            st.nav_batch = nav_batch
+            return True
 
-            if not use_mem:
-                # action select + history append run on device inside
-                # eval_step on the memory path
+        def _dispatch(st: Stream):
+            if use_mem:
+                # ONE device call: reset refills -> pano -> mem update ->
+                # nav forward -> action select -> hist append. Async —
+                # a_t stays a device array until _post materializes it.
+                with self.timer.stage("nav_dispatch"):
+                    st.mem_state, st.a_t, _ = self.runner.eval_step(
+                        st.mem_state, st.pano_inputs, st.nav_batch,
+                        st.reset_rows, st.cur_ids, st.cand_ids,
+                        st.real_mask, st.a_t_override,
+                        do_sample=(feedback == "sample"),
+                        temperature=getattr(args, "temperature", 1.0),
+                        sync=False)
+                st.fuse_embeds = None
+            else:
+                with self.timer.stage("nav_device"):
+                    logits, st.fuse_embeds, _ = \
+                        self.runner.navigation(st.nav_batch)
                 if feedback == "sample":
                     probs = _softmax(logits / max(args.temperature, 1e-6))
                     a_t = np.array([self.np_rng.choice(
@@ -691,16 +725,24 @@ class MP3DAgent:
                         for p in probs.astype(np.float64)])
                 else:
                     a_t = logits.argmax(1)
-                a_t = np.where(a_t_override >= 0, a_t_override, a_t)
+                st.a_t = np.where(st.a_t_override >= 0, st.a_t_override, a_t)
+            st.pending = True
 
+        def _post(st: Stream):
+            """Retire st's in-flight step: wait only for a_t, then run
+            the per-slot host work (stop handling, refill, env step)."""
+            st.pending = False
+            with self.timer.stage("nav_sync"):
+                a_t = np.asarray(st.a_t)
+            gmap_in = st.gmap_in
             nav_vpids = gmap_in["gmap_vpids"]
-            reset_rows = np.zeros(num_slots, bool)
-            for i, sl in enumerate(active):
+            st.reset_rows = np.zeros(len(st.slots), bool)
+            for i, sl in enumerate(st.slots):
                 if not sl.active:
                     continue
                 sl.history.append("<hist>")
                 if not use_mem:
-                    sl.hist_vis.append(fuse_embeds[i, a_t[i]])
+                    sl.hist_vis.append(st.fuse_embeds[i, a_t[i]])
                 sl.t += 1
                 stop = (a_t[i] == 0) or gmap_in["no_vp_left"][i] \
                     or sl.t >= max_action_len
@@ -710,8 +752,8 @@ class MP3DAgent:
                     need_gen = needs_generation(sl)
                     if need_og or need_gen:
                         if use_mem:
-                            buf = np.asarray(mem_state["hist_buf"][i])
-                            cnt = int(np.asarray(mem_state["hist_cnt"][i]))
+                            buf = np.asarray(st.mem_state["hist_buf"][i])
+                            cnt = int(np.asarray(st.mem_state["hist_cnt"][i]))
                             hist_vis = [buf[k] for k in
                                         range(min(cnt, buf.shape[0]))]
                         else:
@@ -733,7 +775,7 @@ class MP3DAgent:
                             fill(sl)
                     else:
                         fill(sl)
-                    reset_rows[i] = True
+                    st.reset_rows[i] = True
                 else:
                     action = nav_vpids[i][a_t[i]]
                     with self.timer.stage("env_step"):
@@ -745,7 +787,24 @@ class MP3DAgent:
                     self.update_scanvp_cands([sl.ob])
                     sl.gmap.update_graph(sl.ob)
             # (memory of refilled slots is zeroed inside the NEXT fused
-            # eval step via reset_rows — no extra device call here)
+            # eval step via st.reset_rows — no extra device call)
+
+        # prime the pipeline: each stream's first step is dispatched
+        # before any result is awaited
+        for st in streams:
+            if _pre(st):
+                _dispatch(st)
+        while True:
+            progressed = False
+            for st in streams:
+                if not st.pending:
+                    continue
+                progressed = True
+                _post(st)
+                if _pre(st):
+                    _dispatch(st)
+            if not progressed:
+                break
             flush_og()
             flush_gen()
         flush_og(force=True)

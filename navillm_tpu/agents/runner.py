@@ -567,13 +567,19 @@ class NavModelRunner:
 
     def eval_step(self, state, pano_inputs, batch, reset_mask, cur_ids,
                   cand_ids, active_mask, a_t_override=None,
-                  do_sample: bool = False, temperature: float = 1.0):
+                  do_sample: bool = False, temperature: float = 1.0,
+                  sync: bool = True):
         """ONE device call per streaming-eval rollout step (reset ->
         pano -> memory update -> nav forward -> action select -> hist
         append). a_t_override [B] (-1 = policy action) forces actions
-        for oracle rows. Returns (new_state, a_t np[B], logits
-        device[B, G]). Only a_t needs downloading; logits stay on
-        device."""
+        for oracle rows. Returns (new_state, a_t, logits device[B, G]).
+        Only a_t needs downloading; logits stay on device.
+
+        sync=False returns a_t as a DEVICE array without waiting: the
+        dispatch is async, so the caller can overlap host work for
+        another slot group with this step's execution and materialize
+        a_t later (np.asarray) — the two-stream pipeline in
+        validate_streaming."""
         pano_dev = self._pano_dev_inputs(pano_inputs)
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
         if a_t_override is None:
@@ -584,7 +590,7 @@ class NavModelRunner:
             jnp.asarray(active_mask),
             jnp.asarray(a_t_override, jnp.int32), self._next_rng(),
             jnp.float32(temperature), do_sample=do_sample)
-        return state, np.asarray(a_t), logits
+        return state, (np.asarray(a_t) if sync else a_t), logits
 
     def navigation_from_memory(self, state, batch: Dict[str, np.ndarray],
                                pano_embeds):
