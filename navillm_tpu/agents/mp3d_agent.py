@@ -639,19 +639,23 @@ class MP3DAgent:
                             sl.gmap.update_node_embed(cvp, pano_embeds_np[i, j])
 
             with self.timer.stage("nav_assemble"):
-                gmap_in = self.nav_gmap_inputs(obs, gmaps,
-                                               fill_embeds=not use_mem)
-                vp_in = self.nav_vp_inputs(obs, gmaps, pano_embeds_np,
-                                           host_pano_masks,
-                                           pano_inputs["cand_vpids"])
-                match = self.local_match_slots(
-                    gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
-                    width=host_pano_masks.shape[1] + 1)
-                order, prompts, _ = self.cand_order_and_prompts(
-                    gmap_in, [sl.instruction for sl in active],
-                    [sl.history for sl in active], validate=True)
-                tok_batch, cand_pos, hist_pos, cls_pos = \
-                    self.runner.tokenize_with_positions(prompts)
+                with self.timer.stage("na_gmap"):
+                    gmap_in = self.nav_gmap_inputs(obs, gmaps,
+                                                   fill_embeds=not use_mem)
+                with self.timer.stage("na_vp"):
+                    vp_in = self.nav_vp_inputs(obs, gmaps, pano_embeds_np,
+                                               host_pano_masks,
+                                               pano_inputs["cand_vpids"])
+                    match = self.local_match_slots(
+                        gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
+                        width=host_pano_masks.shape[1] + 1)
+                with self.timer.stage("na_prompts"):
+                    order, prompts, _ = self.cand_order_and_prompts(
+                        gmap_in, [sl.instruction for sl in active],
+                        [sl.history for sl in active], validate=True)
+                with self.timer.stage("na_tok"):
+                    tok_batch, cand_pos, hist_pos, cls_pos = \
+                        self.runner.tokenize_with_positions(prompts)
             nav_batch = {
                 "gmap_step_ids": gmap_in["gmap_step_ids"],
                 "gmap_pos_fts": gmap_in["gmap_pos_fts"],
