@@ -21,6 +21,7 @@ relay's async dispatch makes tail-only syncs unreliable).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import statistics
 import sys
@@ -117,8 +118,9 @@ def bench_train_step(args):
             "vs_baseline": round(v / REF_STEPS_PER_SEC_PER_CHIP, 3)}
 
 
-def bench_rollout(args):
-    """Greedy eval rollouts end-to-end on a synthetic grid world."""
+def _rollout_world(args, cfg, n_slots):
+    """Synthetic 8x8 grid world + R2R annotations + agent/loader wiring
+    shared by the rollout and train_e2e modes."""
     import json as _json
     import tempfile
     import jax
@@ -133,9 +135,7 @@ def bench_rollout(args):
     from navillm_tpu.sim import WorldModel
     from navillm_tpu.utils.config import ConfigDict, TrainArgs
 
-    cfg = _model(args.debug, args.model)
     tok = NavTokenizer(max_length=1024, pad_to_multiple=128)
-    # rebuild llm with tokenizer vocab for correct ids
     from navillm_tpu.models import llama as L
     import dataclasses as dc
     cfg = NM.NavModelConfig(
@@ -145,16 +145,12 @@ def bench_rollout(args):
         max_gmap_nodes=48, max_views=44, max_cands=12, max_hist=16,
         max_objects=8))
 
-    # synthetic 8x8 grid world + R2R annotations
     from navillm_tpu.testing import make_grid_connectivity
     root = Path(tempfile.mkdtemp())
     make_grid_connectivity(root / "connectivity", scan="bench0", rows=8,
                            cols=8)
     rng = np.random.RandomState(0)
     items = []
-    # 32 slots/stream measured ~4% over 16 on the real chip (B=32 fills
-    # the MXU a little better at T=256); 64 in-flight episodes total
-    n_slots = args.batch or 32
     for pid in range(max(32, 4 * n_slots)):   # 4x slots so refill engages
         r0, c0 = rng.randint(0, 8, 2)
         r1, c1 = rng.randint(0, 8, 2)
@@ -178,14 +174,25 @@ def bench_rollout(args):
     tcfg = ConfigDict({
         "Feature": {"image_feat_size": cfg.pano.image_feat_size,
                     "angle_feat_size": 4},
-        "R2R": {"DIR": "R2R", "SPLIT": {"val_unseen": "annotations/val.json"}},
+        "R2R": {"DIR": "R2R", "SPLIT": {"val_unseen": "annotations/val.json",
+                                        "train": "annotations/val.json"}},
         "Optim": {"val_max_action_len": {"R2R": 10},
-                  "train_max_action_len": {"R2R": 10}}})
+                  "train_max_action_len": {"R2R": 10}},
+        "Multi": {"SOURCE": ["R2R"], "Ratio": [1], "LOSS_COEF": {}}})
     ds = load_dataset("r2r", targs, tcfg, training=False, source="R2R",
                       world=world)
     ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
     agent = load_agent("r2r", targs, world, runner)
-    loader = Dataloader(ds, batch_size=n_slots, shuffle=False)
+    return cfg, runner, agent, ds, targs, tcfg, Dataloader
+
+
+def bench_rollout(args):
+    """Greedy eval rollouts end-to-end on a synthetic grid world."""
+    # 32 slots/stream measured ~4% over 16 on the real chip (B=32 fills
+    # the MXU a little better at T=256); 64 in-flight episodes total
+    n_slots = args.batch or 32
+    cfg, runner, agent, ds, targs, tcfg, Dataloader = \
+        _rollout_world(args, _model(args.debug, args.model), n_slots)
 
     # warmup (compile) with one untimed streaming pass: compiles the
     # fused eval-step executable for every prompt-length bucket
@@ -208,6 +215,75 @@ def bench_rollout(args):
         print(agent.timer.report(), file=sys.stderr)
     v = n_episodes / dt
     return {"metric": f"episodes/sec (streaming greedy eval, 1 chip, "
+                      f"{_scale_tag(args)})",
+            "value": round(v, 3), "unit": "episodes/sec",
+            "vs_baseline": round(v / REF_EPISODES_PER_SEC_PER_CHIP, 3)}
+
+
+def bench_train_e2e(args):
+    """End-to-end fused-teacher TRAINING on the synthetic world: host
+    trajectory simulation (sim + features + prompts) + batched pano +
+    fuse + one LLM loss/grad chain per batch + AdamW at accum cadence.
+    The reference's per-epoch cost driver (SURVEY.md §3.2)."""
+    import jax
+    from navillm_tpu.training.optim import make_optimizer
+    from navillm_tpu.utils.config import ConfigDict
+
+    b = args.batch or 8
+    cfg, runner, agent, ds, targs, tcfg, Dataloader = \
+        _rollout_world(args, _model(args.debug, args.model), b)
+    targs.fused_teacher = True
+    targs.gradient_accumulation_step = 2
+    ds.training = True
+
+    tx = make_optimizer(lr=1e-5, grad_clip_norm=40.0)
+    opt_state = tx.init(runner.params)
+    import optax
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def opt_step(params, opt_state, grads):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def run(n_batches):
+        """One-step-lag training loop (mirrors train_loop)."""
+        nonlocal opt_state
+        runner.zero_grads()
+        pending = None
+        n_eps = 0
+        loader = Dataloader(ds, batch_size=b, shuffle=False)
+        it = iter(loader)
+        for step in range(n_batches):
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(Dataloader(ds, batch_size=b, shuffle=False))
+                batch = next(it)
+            loss = agent.train("R2R", batch, targs, tcfg, dataset=ds,
+                               step=step)
+            if pending is not None:
+                float(pending)
+            pending = loss
+            n_eps += batch["batch_size"]
+            if (step + 1) % targs.gradient_accumulation_step == 0:
+                grads = runner.take_grads()
+                runner.params, opt_state = opt_step(runner.params,
+                                                    opt_state, grads)
+                runner.zero_grads()
+        if pending is not None:
+            float(pending)
+        return n_eps
+
+    run(2)          # warmup/compile
+    agent.timer.reset()
+    n_batches = 2 if args.debug else max(args.iters // 2, 4)
+    t0 = time.perf_counter()
+    n_eps = run(n_batches)
+    dt = time.perf_counter() - t0
+    if args.timing:
+        print(agent.timer.report(), file=sys.stderr)
+    v = n_eps / dt
+    return {"metric": f"episodes/sec (e2e fused-teacher TRAINING, 1 chip, "
                       f"{_scale_tag(args)})",
             "value": round(v, 3), "unit": "episodes/sec",
             "vs_baseline": round(v / REF_EPISODES_PER_SEC_PER_CHIP, 3)}
@@ -284,7 +360,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--debug", action="store_true")
     ap.add_argument("--mode", default="rollout",
-                    choices=["train_step", "rollout", "decode"])
+                    choices=["train_step", "rollout", "decode", "train_e2e"])
     ap.add_argument("--model", default="proxy",
                     choices=["proxy", "7b"],
                     help="proxy: 1.3B stand-in; 7b: true Vicuna-7B dims (bf16, eval modes)")
@@ -297,7 +373,7 @@ def main():
     if not args.debug:
         chip_calibration()
     fn = {"train_step": bench_train_step, "rollout": bench_rollout,
-          "decode": bench_decode}[args.mode]
+          "decode": bench_decode, "train_e2e": bench_train_e2e}[args.mode]
     print(json.dumps(fn(args)))
 
 

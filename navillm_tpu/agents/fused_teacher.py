@@ -13,11 +13,18 @@ the LLM). So training can run as (SURVEY.md §7.1 "big win"):
   3. host: replay graph-memory updates from the panorama outputs,
      assemble per-row navigation arrays;
   4. device: one fusion-only call -> history embeddings per row;
-  5. device: ONE navigation LLM loss+grad call over all rows
-     (loss = sum CE * train_ml / batch_size / grad_accum, identical to
-     the per-step path's accumulated per-step backwards);
+  5. device: navigation LLM loss+grad calls over all rows in fixed
+     [args.fused_rows_per_call, L] chunks (loss = sum CE * train_ml /
+     batch_size / grad_accum, identical to the per-step path's
+     accumulated per-step backwards; chunking bounds the activation
+     footprint next to AdamW state on 16 GB and keeps executables at a
+     stable shape for any trajectory length);
   6. sub-task heads (FGR2R rows batched; OG / summarization at final
      step) as flat batched calls.
+
+All grad calls dispatch WITHOUT host syncs (device-scalar losses,
+no output downloads) so the chain overlaps the next batch's host
+phase 1 — train_loop materializes losses one step later.
 
 Gradient structure matches the per-step path exactly: graph memory and
 history embeddings are detached in both (verified by
@@ -130,16 +137,41 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         pano_cat.update({"obj_img_fts": cat("obj_img_fts"),
                          "obj_loc_fts": cat("obj_loc_fts"),
                          "obj_lens": cat("obj_lens")})
-    # one rng for the whole batched panorama: the final loss jit
-    # recomputes this panorama with the same rng so its params get
-    # gradients (values identical, now differentiable)
-    pano_rng = agent.runner._next_rng()
+    # The T*B rows are processed in fixed-width CHUNKS: the whole-
+    # trajectory grad call at T*B ~ 80 rows x 512 tokens plus AdamW
+    # state is marginal on a 16 GB chip, and chunking also makes every
+    # executable a stable [chunk, L] shape regardless of trajectory
+    # length (fewer compiles). The last chunk pads by repeating row 0
+    # with ignoreid targets — loss-invariant (sum-with-ignore).
+    # Each chunk gets its OWN rng, used identically by the phase-2
+    # panorama below and the phase-5 loss jit that recomputes it (so
+    # pano values match and its params get gradients).
+    rows_total = T * B
+    chunk = int(getattr(args, "fused_rows_per_call", 0) or 0)
+    if chunk <= 0:
+        chunk = rows_total
+    bounds = list(range(0, rows_total, chunk))
+
+    def chunk_idx(c0):
+        idx = np.arange(c0, c0 + chunk)
+        n_real = min(chunk, rows_total - c0)
+        return np.minimum(idx, rows_total - 1), n_real
+
+    pano_rngs = {}
+    pe_parts, pm_parts = [], []
     with agent.timer.stage("pano_device"):
-        pano_out = agent.runner.panorama(pano_cat, deterministic=False,
-                                         rng=pano_rng)
-    pano_embeds_all = pano_out["pano_embeds"].reshape(T, B, *pano_out[
-        "pano_embeds"].shape[1:])
-    pano_masks_all = pano_out["pano_masks"].reshape(T, B, -1)
+        for c0 in bounds:
+            idx, n_real = chunk_idx(c0)
+            pano_rngs[c0] = agent.runner._next_rng()
+            out = agent.runner.panorama(
+                {k: v[idx] for k, v in pano_cat.items()},
+                deterministic=False, rng=pano_rngs[c0])
+            pe_parts.append(out["pano_embeds"][:n_real])
+            pm_parts.append(out["pano_masks"][:n_real])
+    pano_embeds_flat = np.concatenate(pe_parts, 0)
+    pano_embeds_all = pano_embeds_flat.reshape(
+        T, B, *pano_embeds_flat.shape[1:])
+    pano_masks_all = np.concatenate(pm_parts, 0).reshape(T, B, -1)
 
     # ------------- phase 3: replay memory + assemble rows ----------------
     # rebuild node embeddings step by step from the batched pano outputs
@@ -271,9 +303,21 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     targets = np.concatenate([s["targets"] for s in steps], 0)
     coef = train_ml / B / args.gradient_accumulation_step
     del nav_batch["vp_img_embeds"]
+    ml_loss = 0.0
     with agent.timer.stage("nav_device"):
-        _, _, _, _, ml_loss = agent.runner.pano_navigation_train(
-            pano_cat, pano_rng, nav_batch, targets, coef)
+        # async dispatch per chunk: no outputs downloaded, loss stays a
+        # device scalar — train_loop materializes it one step later, so
+        # the grad chain overlaps the NEXT batch's host trajectory phase
+        for c0 in bounds:
+            idx, n_real = chunk_idx(c0)
+            real = np.arange(c0, c0 + chunk) < rows_total
+            part_tgt = np.where(real, targets[idx], args.ignoreid) \
+                .astype(targets.dtype)
+            _, _, _, _, loss_c = agent.runner.pano_navigation_train(
+                {k: v[idx] for k, v in pano_cat.items()}, pano_rngs[c0],
+                {k: v[idx] for k, v in nav_batch.items()}, part_tgt,
+                coef, need_outputs=False)
+            ml_loss = ml_loss + loss_c
 
     # ------------- sub-task heads ----------------------------------------
     final = steps[-1]

@@ -434,13 +434,20 @@ class NavModelRunner:
         return {k: np.asarray(v) for k, v in out.items()}
 
     def pano_navigation_train(self, pano_inputs, rng, batch, targets,
-                              coef: float):
+                              coef: float, need_outputs: bool = True):
         """Pano-differentiable navigation train step, split into three
         jits (pano fwd -> nav loss/grads + embedding cotangent -> pano
         vjp) — mathematically one fused step, but each piece compiles
         fast (the pano-inside-LLM-grad composition compiles ~20x
         slower as a single program).
-        Returns (logits, fuse_embeds, pano_embeds, pano_masks, loss)."""
+        Returns (logits, fuse_embeds, pano_embeds, pano_masks, loss).
+
+        need_outputs=False skips EVERY device->host download and returns
+        (None, None, None, None, loss) with loss a DEVICE scalar: the
+        fused-teacher path discards the outputs, and materializing them
+        cost ~60 MB of relay downloads per trajectory batch AND forced a
+        host sync on the grad chain. The caller materializes the loss a
+        step later (one-step-lag training pipeline, train_loop)."""
         assert self.grad_accum is not None
         n_rows = len(targets)
         pano_dev, batch, targets = self._dp_pad_rows(
@@ -452,12 +459,15 @@ class NavModelRunner:
             self.params, self.grad_accum, dev, pe, tgt, jnp.float32(coef))
         self.grad_accum = self._pano_vjp_fn(self.params, self.grad_accum,
                                             rng, pano_dev, gpe)
+        if not need_outputs:
+            return None, None, None, None, loss
         return (np.asarray(logits)[:n_rows], np.asarray(fuse)[:n_rows],
                 np.asarray(pe)[:n_rows], np.asarray(pm)[:n_rows],
                 float(loss))
 
-    def pano_generation_train(self, pano_inputs, rng, batch, coef: float
-                              ) -> float:
+    def pano_generation_train(self, pano_inputs, rng, batch, coef: float):
+        """Returns the loss as a DEVICE scalar (no host sync) — callers
+        accumulate lazily; train_loop materializes one step later."""
         assert self.grad_accum is not None
         pano_dev, batch, _ = self._dp_pad_rows(
             self._pano_dev_inputs(pano_inputs), batch, labels_key="labels",
@@ -469,9 +479,15 @@ class NavModelRunner:
             self.params, self.grad_accum, dev, pe, jnp.float32(coef))
         self.grad_accum = self._pano_vjp_fn(self.params, self.grad_accum,
                                             rng, pano_dev, gv)
-        return float(loss)
+        return loss
 
-    def pano_og_train(self, pano_inputs, rng, batch, targets, coef: float):
+    def pano_og_train(self, pano_inputs, rng, batch, targets, coef: float,
+                      need_logits: bool = True):
+        """Returns (logits, loss) with loss a DEVICE scalar. The logits
+        download syncs the queued grad chain, but traj parity requires
+        pred_objid on training rollouts too (reference
+        mp3d_agent.py:788-842) and OG fires once per trajectory at most
+        — only SOON/REVERIE batches pay the pipeline bubble."""
         assert self.grad_accum is not None
         n_rows = len(targets)
         pano_dev, batch, targets = self._dp_pad_rows(
@@ -485,7 +501,9 @@ class NavModelRunner:
             jnp.float32(coef))
         self.grad_accum = self._pano_vjp_obj_fn(self.params, self.grad_accum,
                                                 rng, pano_dev, go)
-        return np.asarray(logits)[:n_rows], float(loss)
+        if not need_logits:
+            return None, loss
+        return np.asarray(logits)[:n_rows], loss
 
     def navigation(self, batch: Dict[str, np.ndarray],
                    targets: Optional[np.ndarray] = None,

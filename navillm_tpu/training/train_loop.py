@@ -15,6 +15,7 @@ Port of the reference driver semantics (train.py:33-294):
 """
 from __future__ import annotations
 
+import functools
 import os
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -148,7 +149,11 @@ def build_agents(args, sources, world, runner) -> Dict[str, Any]:
 
 
 def make_opt_step(tx):
-    @jax.jit
+    # donation: params + opt state update in place — without it the
+    # optimizer step transiently double-buffers ~3x the param bytes,
+    # which is the margin between fitting and OOM for the 1.3B-proxy
+    # fused-teacher recipe on a 16 GB chip
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def opt_step(params, opt_state, grads):
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -163,12 +168,27 @@ def train_one_epoch(args, cfg, runner, tx, opt_state, opt_step, meta_loader,
     loss_stats = {k: Metrics() for k in stage_cfg.SOURCE}
 
     runner.zero_grads()
+    # One-step-lag loss materialization: agent.train may return the loss
+    # as a DEVICE scalar (fused-teacher / generation paths dispatch their
+    # grad chains without any host sync). Deferring float() by one step
+    # lets the device chew batch N's fwd/bwd while the host simulates and
+    # assembles batch N+1 — the training-side analogue of the two-group
+    # eval pipeline.
+    pending = None
+
+    def drain(pending):
+        if pending is not None:
+            pname, ploss = pending
+            ploss = float(ploss)
+            loss_metric.accumulate(ploss)
+            loss_stats[pname].accumulate(ploss)
+
     for step, (name, batch) in enumerate(meta_loader):
         agent = agents[name]
         loss = agent.train(name, batch, args, cfg, dataset=datasets.get(name),
                            step=step)
-        loss_metric.accumulate(loss)
-        loss_stats[name].accumulate(loss)
+        drain(pending)
+        pending = (name, loss)
 
         if (step + 1) % args.gradient_accumulation_step == 0:
             grads = runner.take_grads()
@@ -182,6 +202,8 @@ def train_one_epoch(args, cfg, runner, tx, opt_state, opt_step, meta_loader,
                            loss_metric.average))
 
         if step == num_batches - 1:
+            drain(pending)
+            pending = None
             if logger is not None:
                 msg = "***** train [%d] epoch *****\nLoss: %.4f\n" \
                     % (epoch, loss_metric.average)
@@ -189,6 +211,7 @@ def train_one_epoch(args, cfg, runner, tx, opt_state, opt_step, meta_loader,
                     msg += "%s: %.4f\n" % (task, loss_stats[task].average)
                 logger.info(msg)
             break
+    drain(pending)
     return opt_state, loss_metric.average
 
 

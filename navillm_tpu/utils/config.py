@@ -122,6 +122,12 @@ class TrainArgs:
     # fused whole-trajectory teacher-forcing training (one LLM call per
     # trajectory instead of per step; same gradients — SURVEY.md §7.1)
     fused_teacher: bool = True
+    # fixed row-chunk width for the fused-teacher grad calls: bounds the
+    # per-call activation footprint (a whole trajectory batch at
+    # T*B ~ 80 rows x 512 tokens + AdamW state is marginal on 16 GB)
+    # and keeps executables at a stable [chunk, L] shape regardless of
+    # trajectory length. 0 = single call over all T*B rows.
+    fused_rows_per_call: int = 48
 
     # parallelism (TPU-native; replaces the reference's NCCL flags)
     dp_size: int = -1                # -1: all devices on the data axis
