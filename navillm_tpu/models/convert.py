@@ -99,13 +99,100 @@ def convert_hf_llama(hf_model, cfg: LlamaConfig) -> Dict[str, Any]:
 
 def load_vicuna(pretrained_model_name_or_path: str, vocab_size: int,
                 dtype=None) -> tuple:
-    """Load a local Vicuna/Llama checkpoint -> (LlamaConfig, params)."""
+    """Load a local Vicuna/Llama checkpoint -> (LlamaConfig, params).
+
+    Prefers the streaming safetensors path (no torch model
+    instantiation, peak host RAM ~ one shard — required for 7B on
+    small hosts); falls back to from_pretrained for .bin checkpoints.
+    """
+    import os
     import jax.numpy as jnp
+    p = pretrained_model_name_or_path
+    if os.path.isdir(p) and any(f.endswith(".safetensors")
+                                for f in os.listdir(p)):
+        return load_vicuna_streaming(p, vocab_size, dtype=dtype)
     import torch
     from transformers import LlamaForCausalLM
-
-    hf = LlamaForCausalLM.from_pretrained(pretrained_model_name_or_path,
-                                          torch_dtype=torch.float32)
+    hf = LlamaForCausalLM.from_pretrained(p, torch_dtype=torch.float32)
     cfg = config_from_hf(hf.config, vocab_size=vocab_size,
                          dtype=dtype or jnp.bfloat16)
     return cfg, convert_hf_llama(hf, cfg)
+
+
+# tensor-name -> (stack key, transpose) for per-layer weights
+_LAYER_MAP = {
+    "input_layernorm.weight": ("attn_norm", False),
+    "self_attn.q_proj.weight": ("wq", True),
+    "self_attn.k_proj.weight": ("wk", True),
+    "self_attn.v_proj.weight": ("wv", True),
+    "self_attn.o_proj.weight": ("wo", True),
+    "post_attention_layernorm.weight": ("mlp_norm", False),
+    "mlp.gate_proj.weight": ("w_gate", True),
+    "mlp.up_proj.weight": ("w_up", True),
+    "mlp.down_proj.weight": ("w_down", True),
+}
+
+
+def load_vicuna_streaming(path: str, vocab_size: int, dtype=None) -> tuple:
+    """Convert a local (sharded) safetensors Llama checkpoint WITHOUT
+    instantiating the torch model: tensors stream out of each shard and
+    land directly in the pre-allocated stacked host arrays, so peak
+    host RAM is ~ one tensor above the output tree (vs the
+    from_pretrained path staging the entire model in torch fp32 first —
+    ~26 GB for Vicuna-7B). Exercised at true 7B scale by
+    tests/test_convert.py.
+
+    Returns (LlamaConfig, params) with numpy (ml_dtypes-backed bf16)
+    leaves — pass through jax.device_put / jnp.asarray to place.
+    """
+    import os
+    import jax.numpy as jnp
+    from safetensors import safe_open
+    from transformers import AutoConfig
+
+    hf_cfg = AutoConfig.from_pretrained(path)
+    cfg = config_from_hf(hf_cfg, vocab_size=vocab_size,
+                         dtype=dtype or jnp.bfloat16)
+    np_dt = jnp.dtype(cfg.dtype)   # ml_dtypes-backed numpy dtype
+    L, h, i = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    layers = {
+        "attn_norm": np.zeros((L, h), np_dt),
+        "wq": np.zeros((L, h, nh * d), np_dt),
+        "wk": np.zeros((L, h, nkv * d), np_dt),
+        "wv": np.zeros((L, h, nkv * d), np_dt),
+        "wo": np.zeros((L, nh * d, h), np_dt),
+        "mlp_norm": np.zeros((L, h), np_dt),
+        "w_gate": np.zeros((L, h, i), np_dt),
+        "w_up": np.zeros((L, h, i), np_dt),
+        "w_down": np.zeros((L, i, h), np_dt),
+    }
+    params: Dict[str, Any] = {"layers": layers}
+    tied_embed = True
+
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    for fname in files:
+        with safe_open(os.path.join(path, fname), framework="np") as f:
+            for name in f.keys():
+                w = f.get_tensor(name)
+                if name == "model.embed_tokens.weight":
+                    params["embed"] = _resize_rows(
+                        w.astype(np.float32), cfg.vocab_size).astype(np_dt)
+                elif name == "lm_head.weight":
+                    tied_embed = False
+                    params["lm_head"] = np.ascontiguousarray(_resize_rows(
+                        w.astype(np.float32), cfg.vocab_size).T).astype(np_dt)
+                elif name == "model.norm.weight":
+                    params["final_norm"] = w.astype(np_dt)
+                elif name.startswith("model.layers."):
+                    rest = name[len("model.layers."):]
+                    lidx, _, key = rest.partition(".")
+                    ent = _LAYER_MAP.get(key)
+                    if ent is None:
+                        continue       # rotary inv_freq buffers etc.
+                    stack, transpose = ent
+                    layers[stack][int(lidx)] = w.T if transpose else w
+    if tied_embed:
+        params["lm_head"] = np.ascontiguousarray(params["embed"].T)
+    return cfg, params
