@@ -21,7 +21,6 @@ relay's async dispatch makes tail-only syncs unreliable).
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import statistics
 import sys
@@ -236,14 +235,10 @@ def bench_train_e2e(args):
     targs.gradient_accumulation_step = 2
     ds.training = True
 
+    from navillm_tpu.training.train_loop import make_opt_step
     tx = make_optimizer(lr=1e-5, grad_clip_norm=40.0)
     opt_state = tx.init(runner.params)
-    import optax
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def opt_step(params, opt_state, grads):
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
+    opt_step = make_opt_step(tx)   # the REAL training step incl. donation
 
     def run(n_batches):
         """One-step-lag training loop (mirrors train_loop)."""

@@ -146,16 +146,15 @@ def eval_step(params, cfg, pano_apply, state, pano_in, batch, reset_mask,
 
 
 def nav_step_from_memory(params, cfg, state, batch, pano_embeds):
-    """Fused device step: assemble from memory -> forward_navigation ->
-    append chosen-action history. Returns (logits, new_state).
+    """Assemble gmap/vp/hist embeddings from device memory and run
+    forward_navigation. Pure function of (state, batch, pano_embeds) —
+    mutates nothing. Returns (fuse_logits [B, G], fuse_embeds).
 
     batch carries everything EXCEPT gmap_img_embeds / vp_img_embeds /
-    hist_embeds, plus:
-      slot_ids [B, G]  — memory ids per gmap slot
-      a_t_greedy       — actions are chosen OUTSIDE (host needs the
-                          logits anyway); history append happens in the
-                          follow-up hist call to keep policy flexible.
-    """
+    hist_embeds, plus slot_ids [B, G] (memory id per gmap slot, -1
+    empty). Action selection and the history append happen in the
+    caller (eval_step fuses them into the same executable; the legacy
+    split path uses a follow-up hist_append call)."""
     gmap, vp = assemble_from_memory(state, batch["slot_ids"], pano_embeds)
     full = dict(batch)
     full["gmap_img_embeds"] = gmap

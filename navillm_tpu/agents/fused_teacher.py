@@ -141,8 +141,8 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     # trajectory grad call at T*B ~ 80 rows x 512 tokens plus AdamW
     # state is marginal on a 16 GB chip, and chunking also makes every
     # executable a stable [chunk, L] shape regardless of trajectory
-    # length (fewer compiles). The last chunk pads by repeating row 0
-    # with ignoreid targets — loss-invariant (sum-with-ignore).
+    # length (fewer compiles). The last chunk pads by repeating the LAST
+    # real row with ignoreid targets — loss-invariant (sum-with-ignore).
     # Each chunk gets its OWN rng, used identically by the phase-2
     # panorama below and the phase-5 loss jit that recomputes it (so
     # pano values match and its params get gradients).

@@ -444,9 +444,13 @@ class MP3DAgent:
         def needs_generation(sl):
             if sl.data_type == "eqa":
                 return True
+            # parity with the batched rollout's feedback gate
+            # (mp3d_agent.py:1155): summarization only under
+            # teacher/argmax, never under sampling
             return (sl.data_type in ("r2r", "soon", "reverie", "r2r_aug",
                                      "reverie_aug")
-                    and args.enable_summarize and args.mode == "test")
+                    and args.enable_summarize and args.mode == "test"
+                    and not args.do_sample)
 
         eqa_oracle = name in ("EQA",)
         feedback = "sample" if args.do_sample else "argmax"
@@ -559,21 +563,21 @@ class MP3DAgent:
             self._prefetcher = FeaturePrefetcher(dataset.feat_db)
 
         def flush_og(force=False):
-            if not og_queue or (not force and len(og_queue) < flush_width):
-                return
-            batch = og_queue[: flush_width]
-            del og_queue[: len(batch)]
-            pad = batch + [batch[-1]] * (flush_width - len(batch))
-            self._streaming_og(args, pad, n_real=len(batch))
+            # loop: two streams can enqueue up to 2*flush_width snapshots
+            # per iteration, and force-flush must fully drain the queue
+            while og_queue and (force or len(og_queue) >= flush_width):
+                batch = og_queue[: flush_width]
+                del og_queue[: len(batch)]
+                pad = batch + [batch[-1]] * (flush_width - len(batch))
+                self._streaming_og(args, pad, n_real=len(batch))
 
         def flush_gen(force=False):
-            if not gen_queue or (not force and len(gen_queue) < flush_width):
-                return
-            batch = gen_queue[: flush_width]
-            del gen_queue[: len(batch)]
-            pad = batch + [batch[-1]] * (flush_width - len(batch))
-            self._streaming_generation(args, pad, n_real=len(batch),
-                                       trie=trie, results=results)
+            while gen_queue and (force or len(gen_queue) >= flush_width):
+                batch = gen_queue[: flush_width]
+                del gen_queue[: len(batch)]
+                pad = batch + [batch[-1]] * (flush_width - len(batch))
+                self._streaming_generation(args, pad, n_real=len(batch),
+                                           trie=trie, results=results)
 
         def _pre(st: Stream) -> bool:
             """Host assembly of st's next step inputs. False once the

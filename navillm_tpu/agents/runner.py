@@ -450,8 +450,13 @@ class NavModelRunner:
         step later (one-step-lag training pipeline, train_loop)."""
         assert self.grad_accum is not None
         n_rows = len(targets)
-        pano_dev, batch, targets = self._dp_pad_rows(
-            self._pano_dev_inputs(pano_inputs), batch, targets=targets)
+        # pad on HOST, then upload once (padding a device dict would
+        # download every pano array just to re-upload it padded)
+        pano_host = {k: v for k, v in pano_inputs.items()
+                     if k in self.PANO_KEYS}
+        pano_host, batch, targets = self._dp_pad_rows(
+            pano_host, batch, targets=targets)
+        pano_dev = self._pano_dev_inputs(pano_host)
         pe, pm = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = self._put_batch(batch)
         tgt = self._put_batch({"t": targets})["t"]
@@ -469,9 +474,12 @@ class NavModelRunner:
         """Returns the loss as a DEVICE scalar (no host sync) — callers
         accumulate lazily; train_loop materializes one step later."""
         assert self.grad_accum is not None
-        pano_dev, batch, _ = self._dp_pad_rows(
-            self._pano_dev_inputs(pano_inputs), batch, labels_key="labels",
+        pano_host = {k: v for k, v in pano_inputs.items()
+                     if k in self.PANO_KEYS}
+        pano_host, batch, _ = self._dp_pad_rows(
+            pano_host, batch, labels_key="labels",
             rows=len(batch["input_ids"]))
+        pano_dev = self._pano_dev_inputs(pano_host)
         pe, _ = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = self._put_batch(batch)
         dev["special_token_mask"] = self._special_mask
@@ -490,8 +498,11 @@ class NavModelRunner:
         — only SOON/REVERIE batches pay the pipeline bubble."""
         assert self.grad_accum is not None
         n_rows = len(targets)
-        pano_dev, batch, targets = self._dp_pad_rows(
-            self._pano_dev_inputs(pano_inputs), batch, targets=targets)
+        pano_host = {k: v for k, v in pano_inputs.items()
+                     if k in self.PANO_KEYS}
+        pano_host, batch, targets = self._dp_pad_rows(
+            pano_host, batch, targets=targets)
+        pano_dev = self._pano_dev_inputs(pano_host)
         out = self._pano_dict_fn(self.params, rng, pano_dev,
                                  deterministic=False)
         dev = self._put_batch(batch)

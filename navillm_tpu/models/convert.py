@@ -172,9 +172,11 @@ def load_vicuna_streaming(path: str, vocab_size: int, dtype=None) -> tuple:
     tied_embed = True
 
     files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    seen = set()
     for fname in files:
         with safe_open(os.path.join(path, fname), framework="np") as f:
             for name in f.keys():
+                seen.add(name)
                 w = f.get_tensor(name)
                 if name == "model.embed_tokens.weight":
                     params["embed"] = _resize_rows(
@@ -193,6 +195,16 @@ def load_vicuna_streaming(path: str, vocab_size: int, dtype=None) -> tuple:
                         continue       # rotary inv_freq buffers etc.
                     stack, transpose = ent
                     layers[stack][int(lidx)] = w.T if transpose else w
+    # completeness: a missing shard would otherwise silently leave
+    # all-zero layers (exactly the failure mode of a partial download
+    # of the multi-file layout this path targets)
+    expected = {"model.embed_tokens.weight", "model.norm.weight"} | {
+        f"model.layers.{l}.{k}" for l in range(L) for k in _LAYER_MAP}
+    missing = expected - seen
+    if missing:
+        raise ValueError(
+            f"checkpoint at {path} is incomplete: {len(missing)} tensors "
+            f"missing (e.g. {sorted(missing)[:3]}) — partial download?")
     if tied_embed:
         params["lm_head"] = np.ascontiguousarray(params["embed"].T)
     return cfg, params

@@ -30,7 +30,8 @@ from ..ops.masking import NEG_INF
 
 # (cfg, b, prompt_len, max_new, do_sample, has_inject, has_mask, trie id)
 #   -> compiled decode executable
-_JIT_CACHE: Dict[Any, Any] = {}
+_JIT_CACHE: Dict[Any, Any] = {}   # insertion-ordered => LRU via re-insert
+_JIT_CACHE_MAX = 32
 
 
 def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
@@ -199,15 +200,27 @@ def generate(params, cfg: L.LlamaConfig, input_ids, attention_mask, *,
             4 * cfg.hidden_size + 3 * cfg.intermediate_size)
         loop = "eager" if n_params > 3e9 else "scan"
 
+    if special_token_mask is not None:
+        stm = np.asarray(special_token_mask)
+        stm_key = (stm.shape[0], stm.tobytes())
+    else:
+        stm_key = None
     key = (cfg, b, bl, max_new_tokens, bool(do_sample), has_inject,
-           special_token_mask is not None, eos_id, pad_id,
-           id(trie) if trie is not None else None, loop)
+           stm_key, eos_id, pad_id,
+           trie.fingerprint if trie is not None else None, loop)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = _build_decode_fn(cfg, max_new_tokens, eos_id, pad_id,
                               bool(do_sample), special_token_mask, trie,
                               loop=loop)
+        # bounded LRU: an eval epoch's tries are content-keyed so they
+        # re-hit, but unbounded growth (each entry pins compiled
+        # prefill/step executables) is still capped
+        if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
         _JIT_CACHE[key] = fn
+    else:
+        _JIT_CACHE[key] = _JIT_CACHE.pop(key)   # refresh LRU order
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     if not has_inject:

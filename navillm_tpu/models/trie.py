@@ -47,6 +47,15 @@ class DenseTrie:
         self.is_leaf = jnp.asarray(tok_tab[:, 0] < 0)
         self.num_nodes = n
         self.width = width
+        # content fingerprint: two tries built from the same vocab (e.g.
+        # rebuilt every eval epoch) are interchangeable — used as a
+        # stable jit-cache key instead of object identity
+        import hashlib
+        h = hashlib.sha1()
+        h.update(tok_tab.tobytes())
+        h.update(nxt_tab.tobytes())
+        h.update(str(eos_id).encode())
+        self.fingerprint = h.hexdigest()
 
     def advance(self, state: jnp.ndarray, token: jnp.ndarray) -> jnp.ndarray:
         """state [B], token [B] -> new state [B] (leaf states stay)."""
