@@ -155,6 +155,53 @@ def test_streaming_eqa_with_oracle(train_args, task_config, data_dir,
     assert "exact_match" in avg and "oracle_exact_match" in avg
 
 
+def test_streaming_gen_queue_drains_under_flood(train_args, task_config,
+                                                tmp_path, runner):
+    """Regression: with two slot groups, EVERY slot can finish on the
+    same iteration (max_action_len=1 forces it), so the generation
+    queue grows by up to 2x the flush width per iteration and holds
+    >flush_width leftovers at exit — the force flush must loop until
+    drained or EQA answers are silently dropped. Needs a dataset much
+    larger than the slot count (the shared fixture has 1 item)."""
+    import json
+    from navillm_tpu.testing import make_grid_connectivity
+
+    root = tmp_path / "flood"
+    make_grid_connectivity(root / "connectivity", scan="scan0", rows=4,
+                           cols=4)
+    eqa_dir = root / "EQA" / "annotations"
+    eqa_dir.mkdir(parents=True)
+    items = [{"sample_idx": i, "scan": "scan0",
+              "path": [f"vp_{i % 4}_{i // 4 % 4}",
+                       f"vp_{(i + 1) % 4}_{i // 4 % 4}"],
+              "question": {"question_text": f"what color is object {i}",
+                           "answer_text": "red"}}
+             for i in range(12)]
+    (eqa_dir / "val_unseen.json").write_text(json.dumps(items))
+    (eqa_dir / "answer_vocab.json").write_text(
+        json.dumps(["red", "blue", "green"]))
+
+    args = train_args
+    args.data_dir = str(root)
+    args.image_feat_size = runner.cfg.pano.image_feat_size
+    args.obj_feat_size = runner.cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    optim_cfg = ConfigDict({"Optim": {"val_max_action_len": {"EQA": 1},
+                                      "train_max_action_len": {"EQA": 1}}})
+    world = WorldModel(str(root / "connectivity"))
+    ds = load_dataset("eqa", args, task_config, training=False, source="EQA",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size))
+    agent = load_agent("eqa", args, world, runner)
+    loader = Dataloader(ds, batch_size=2, shuffle=False)
+    preds = agent.validate_streaming("EQA", args, optim_cfg, loader,
+                                     dataset=ds)
+    assert len(preds) == len(ds) == 12
+    for p in preds:
+        assert p["pred_answer"] in ds.answer_vocab, p["instr_id"]
+        assert p["oracle_pred_answer"] in ds.answer_vocab, p["instr_id"]
+
+
 def test_streaming_summarization_test_mode(train_args, task_config, data_dir,
                                            runner, optim_cfg):
     """args.mode='test' + enable_summarize: every finished slot gets a
