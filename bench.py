@@ -140,9 +140,11 @@ def _rollout_world(args, cfg, n_slots):
     cfg = NM.NavModelConfig(
         llm=dc.replace(cfg.llm, vocab_size=tok.vocab_size), pano=cfg.pano)
     params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    # max_prefix 384: the byte-tokenizer grid-world prompts cache
+    # <=~300 prefix tokens; right-sizing halves the per-stream KV cache
     runner = NavModelRunner(cfg, params, tok, dims=RolloutDims(
         max_gmap_nodes=48, max_views=44, max_cands=12, max_hist=16,
-        max_objects=8))
+        max_objects=8, max_prefix=384))
 
     from navillm_tpu.testing import make_grid_connectivity
     root = Path(tempfile.mkdtemp())
@@ -192,6 +194,7 @@ def bench_rollout(args):
     n_slots = args.batch or 32
     cfg, runner, agent, ds, targs, tcfg, Dataloader = \
         _rollout_world(args, _model(args.debug, args.model), n_slots)
+    targs.prefix_cache = args.prefix_cache
 
     # warmup (compile) with one untimed streaming pass: compiles the
     # fused eval-step executable for every prompt-length bucket
@@ -364,6 +367,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--timing", action="store_true",
                     help="print per-stage timer breakdown to stderr")
+    ap.add_argument("--prefix_cache", action="store_true",
+                    help="rollout mode: enable prompt-prefix KV caching "
+                         "(pays when the instruction prefix dominates)")
     args = ap.parse_args()
     if not args.debug:
         chip_calibration()

@@ -145,6 +145,151 @@ def eval_step(params, cfg, pano_apply, state, pano_in, batch, reset_mask,
     return state, a_t, logits
 
 
+def init_prefix_cache(llm_cfg, batch: int, max_prefix: int):
+    """Per-slot ragged prompt-prefix KV cache (vLLM-style prefix caching
+    for the rollout: instruction+history tokens are append-only per
+    episode, so each step forwards only the new history tokens and the
+    candidates section)."""
+    L_, nkv, d = llm_cfg.num_layers, llm_cfg.num_kv_heads, llm_cfg.head_dim
+    shape = (L_, batch, max_prefix, nkv, d)
+    return {"pkv_k": jnp.zeros(shape, llm_cfg.dtype),
+            "pkv_v": jnp.zeros(shape, llm_cfg.dtype),
+            "plen": jnp.zeros((batch,), jnp.int32)}
+
+
+def prefill_prefix(params, llm_cfg, cache, ids, mask, rows, valid):
+    """Prefill refilled rows' instruction prefixes into the cache.
+
+    ids [Bp, P] right-padded; mask [Bp, P]; rows [Bp] target cache
+    rows, ALL DISTINCT (the host points padding entries at distinct
+    rows it is not prefilling; valid[i]=False makes entry i rewrite
+    that row's OLD content — a no-op without scatter-order hazards).
+    The t=0 prefix (instruction + history header) contains no special
+    tokens, so no injection is needed."""
+    from ..models import llama as L
+
+    emb = L.embed_with_injection(params["llm"], ids)
+    emb = jnp.where(mask[..., None], emb, 0)
+    _, kv = L.forward_hidden(params["llm"], llm_cfg, emb, mask,
+                             return_kv=True)
+    # the prefill runs at its own (bucketed) width pw <= Pmax; write
+    # only the [:, rows, :pw] sub-region (tokens beyond plen stay
+    # invisible behind prefix_mask regardless of stale content)
+    p = cache["pkv_k"].shape[2]
+    kvk = kv["k"][:, :, :p].astype(cache["pkv_k"].dtype)
+    kvv = kv["v"][:, :, :p].astype(cache["pkv_v"].dtype)
+    pw = kvk.shape[2]
+    vmask = valid[None, :, None, None, None]
+    new_k = cache["pkv_k"].at[:, rows, :pw].set(
+        jnp.where(vmask, kvk, cache["pkv_k"][:, rows, :pw]))
+    new_v = cache["pkv_v"].at[:, rows, :pw].set(
+        jnp.where(vmask, kvv, cache["pkv_v"][:, rows, :pw]))
+    new_len = cache["plen"].at[rows].set(
+        jnp.where(valid, mask.sum(1).astype(jnp.int32),
+                  cache["plen"][rows]))
+    return {"pkv_k": new_k, "pkv_v": new_v, "plen": new_len}
+
+
+def eval_step_cached(params, cfg, pano_apply, state, cache, pano_in, batch,
+                     reset_mask, cur_ids, cand_ids, active_mask,
+                     a_t_override, rng, do_sample: bool, temperature):
+    """Prefix-cached variant of eval_step: instead of forwarding the
+    whole prompt, (a) append this step's new history tokens to the
+    per-row prefix cache (with the chosen-action fuse embed injected at
+    the <hist> token from hist_buf), then (b) forward only the
+    candidates-section suffix against the cache. Identical math to the
+    full forward (causal attention over an append-only prefix;
+    tests/test_llama.py chunk parity + streaming A/B).
+
+    batch additions vs eval_step: app_ids/app_mask [B, A] (new history
+    window; empty on a row's first step), app_hist_pos [B] (window
+    index of its <hist> token, -1 none), suf_ids/suf_mask [B, S],
+    suffix-relative cand_positions [B, C] and cls_pos [B].
+    Returns (state', cache', a_t, logits)."""
+    from ..models import llama as L
+    from ..models import nav_model as NM_
+
+    state = reset_slots(state, reset_mask)
+    b = reset_mask.shape[0]
+    # refilled rows' plen/K-V are owned by prefill_prefix, which the
+    # host dispatches BEFORE this step for every refilled row — no
+    # zeroing here (it would clobber the fresh prefill)
+    plen = cache["plen"]
+
+    po = pano_apply(params, rng, pano_in, True)
+    pano_embeds, pano_masks = po["pano_embeds"], po["pano_masks"]
+    state = memory_update(state, pano_embeds, pano_masks, cur_ids, cand_ids)
+
+    # fusion (same as nav_step_from_memory / forward_navigation)
+    gmap, vp = assemble_from_memory(state, batch["slot_ids"], pano_embeds)
+    full = dict(batch)
+    full["gmap_img_embeds"] = gmap
+    full["vp_img_embeds"] = vp
+    fuse, cand_masks = NM_.fuse_gmap_local(params, cfg, full)
+    g = fuse.shape[1]
+
+    order = batch["cand_order"]
+    ovalid = order >= 0
+    order_safe = jnp.maximum(order, 0)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], order.shape)
+    cand_embeds = jnp.where(ovalid[..., None], fuse[bidx, order_safe], 0.0)
+
+    pkv = {"k": cache["pkv_k"], "v": cache["pkv_v"]}
+    pmax = pkv["k"].shape[2]
+    prefix_mask = jnp.arange(pmax)[None, :] < plen[:, None]
+
+    # (a) history append window: inject hist_buf[b, hist_cnt-1] at the
+    # window's <hist> token, write K/V at the per-row prefix end
+    app_mask = batch["app_mask"]
+    hist_idx = jnp.maximum(state["hist_cnt"] - 1, 0)
+    hist_val = state["hist_buf"][jnp.arange(b), hist_idx]           # [B, H]
+    app_emb = L.embed_with_injection(
+        params["llm"], batch["app_ids"], batch["app_hist_pos"][:, None],
+        hist_val[:, None, :])
+    app_emb = jnp.where(app_mask[..., None], app_emb, 0)
+    a_w = app_mask.shape[1]
+    app_pos = plen[:, None] + jnp.arange(a_w)[None, :]
+    _, pkv = L.chunk_forward_cached(
+        params["llm"], cfg.llm, app_emb, pkv, prefix_mask, app_mask,
+        app_pos, write_offsets=plen)
+    plen = plen + app_mask.sum(1).astype(jnp.int32)
+    prefix_mask = jnp.arange(pmax)[None, :] < plen[:, None]
+
+    # (b) candidates suffix: inject fused cand embeds, read-only forward
+    suf_mask = batch["suf_mask"]
+    suf_emb = L.embed_with_injection(
+        params["llm"], batch["suf_ids"], batch["cand_positions"],
+        cand_embeds)
+    suf_emb = jnp.where(suf_mask[..., None], suf_emb, 0)
+    s_w = suf_mask.shape[1]
+    suf_pos = plen[:, None] + jnp.arange(s_w)[None, :]
+    hidden, _ = L.chunk_forward_cached(
+        params["llm"], cfg.llm, suf_emb, pkv, prefix_mask, suf_mask, suf_pos)
+
+    cls_hidden = hidden[jnp.arange(b), batch["cls_pos"]]
+    preds = (cls_hidden @ params["out_head"]["w"]
+             + params["out_head"]["b"]).astype(jnp.float32)
+    from ..ops.masking import NEG_INF
+    logits = jnp.full((b, g), NEG_INF, jnp.float32)
+    logits = logits.at[:, 0].set(preds[:, 0])
+    upd = jnp.where(ovalid, preds[:, 1:1 + order.shape[1]], NEG_INF)
+    logits = logits.at[bidx, order_safe].max(upd)
+    logits = jnp.where(cand_masks, logits, NEG_INF)
+
+    if do_sample:
+        a_t = jax.random.categorical(
+            rng, logits / jnp.maximum(temperature, 1e-6), axis=-1)
+    else:
+        a_t = jnp.argmax(logits, axis=-1)
+    a_t = a_t.astype(jnp.int32)
+    a_t = jnp.where(a_t_override >= 0, a_t_override, a_t)
+    fuse_sg = jax.lax.stop_gradient(fuse)
+    state = hist_append(state, fuse_sg, jnp.where(active_mask, a_t, -1))
+
+    new_cache = {"pkv_k": pkv["k"], "pkv_v": pkv["v"], "plen": plen}
+    return state, new_cache, a_t, logits
+
+
 def nav_step_from_memory(params, cfg, state, batch, pano_embeds):
     """Assemble gmap/vp/hist embeddings from device memory and run
     forward_navigation. Pure function of (state, batch, pano_embeds) —

@@ -280,6 +280,95 @@ class MP3DAgent:
                 cls_token=CLS_TOKEN_TEXT))
         return order, prompts, cand_nums
 
+    def _cached_prompt_windows(self, slots, prompts, probes, max_prefix):
+        """Split each slot's navigation prompt into (append window,
+        suffix window) relative to its cached prefix.
+
+        The cacheable boundary: history items insert right after the
+        last `<hist>` token (an atomic special token), so for steps
+        with history the boundary is simply last-<hist>+1. At refill
+        (no history yet) the boundary is the longest common prefix of
+        the prompt's token ids and a PROBE prompt (same prompt with one
+        more history item) — the insertion point, derived with zero
+        assumptions about tokenizer splice behavior. Rows needing a
+        (re)prefill get their prefix queued; inactive rows emit empty
+        windows and keep their cache untouched."""
+        tok = self.runner.tok
+        hist_id = tok.hist_id
+        app_list, suf_list, prefill = [], [], []
+        empty = np.zeros(0, np.int32)
+        for i, sl in enumerate(slots):
+            if not sl.active:
+                app_list.append(empty)
+                suf_list.append(empty)
+                continue
+            ids = np.asarray(tok.encode(prompts[i], add_bos=True), np.int32)
+            hp = np.nonzero(ids == hist_id)[0]
+            if len(hp):
+                lcp = int(hp[-1]) + 1
+            else:
+                pids = np.asarray(tok.encode(probes[i], add_bos=True),
+                                  np.int32)
+                m = min(len(ids), len(pids))
+                ne = ids[:m] != pids[:m]
+                lcp = int(np.argmax(ne)) if ne.any() else m
+            if getattr(sl, "needs_prefill", False) or sl.cache_ids is None:
+                sl.cache_ids = ids[:lcp]
+                sl.needs_prefill = False
+                prefill.append((i, sl.cache_ids))
+                app_list.append(empty)
+            else:
+                n = len(sl.cache_ids)
+                if n > lcp or not np.array_equal(ids[:n], sl.cache_ids):
+                    raise RuntimeError(
+                        "prefix-cache token mismatch: this step's prompt "
+                        "does not extend the cached prefix (tokenizer "
+                        "splice instability?) — disable with "
+                        "args.prefix_cache=False")
+                app_list.append(ids[n:lcp])
+                sl.cache_ids = ids[:lcp]
+            if len(sl.cache_ids) > max_prefix:
+                raise RuntimeError(
+                    f"prompt prefix ({len(sl.cache_ids)} tokens) exceeds "
+                    f"RolloutDims.max_prefix={max_prefix}; raise it or "
+                    f"disable args.prefix_cache")
+            suf_list.append(ids[lcp:])
+        return app_list, suf_list, prefill
+
+    @staticmethod
+    def _window_arrays(app_list, suf_list, cand_id, hist_id, cls_id, C):
+        """Pack ragged windows into bucketed arrays + suffix-relative
+        injection positions (k-th <cand> token <-> cand_order[:, k],
+        same pairing as tokenize_with_positions)."""
+        n = len(app_list)
+        a_w = max(8, -(-max((len(a) for a in app_list), default=1) // 8) * 8)
+        s_w = max(64, -(-max((len(s) for s in suf_list), default=1) // 64)
+                  * 64)
+        app_ids = np.zeros((n, a_w), np.int32)
+        app_mask = np.zeros((n, a_w), bool)
+        app_hist_pos = np.full(n, -1, np.int32)
+        suf_ids = np.zeros((n, s_w), np.int32)
+        suf_mask = np.zeros((n, s_w), bool)
+        cand_pos = np.full((n, C), -1, np.int32)
+        cls_pos = np.zeros(n, np.int32)
+        for i, (a, s) in enumerate(zip(app_list, suf_list)):
+            app_ids[i, : len(a)] = a
+            app_mask[i, : len(a)] = True
+            hp = np.nonzero(a == hist_id)[0]
+            if len(hp):
+                app_hist_pos[i] = hp[-1]
+            suf_ids[i, : len(s)] = s
+            suf_mask[i, : len(s)] = True
+            cp = np.nonzero(s == cand_id)[0][:C]
+            cand_pos[i, : len(cp)] = cp
+            cl = np.nonzero(s == cls_id)[0]
+            if len(cl):
+                cls_pos[i] = cl[0]
+        return {"app_ids": app_ids, "app_mask": app_mask,
+                "app_hist_pos": app_hist_pos, "suf_ids": suf_ids,
+                "suf_mask": suf_mask, "cand_positions": cand_pos,
+                "cls_pos": cls_pos}
+
     def hist_arrays(self, hist_vis):
         Hh = self.dims.max_hist
         H = self.runner.cfg.hidden_size
@@ -476,7 +565,7 @@ class MP3DAgent:
         class Slot:
             __slots__ = ("ob", "env", "item", "data_type", "gmap", "traj",
                          "history", "hist_vis", "t", "active", "instruction",
-                         "oracle")
+                         "oracle", "cache_ids", "needs_prefill")
 
         def _init_episode(slot):
             slot.gmap = GraphMap(slot.ob["viewpoint"])
@@ -486,6 +575,8 @@ class MP3DAgent:
             slot.t = 0
             slot.active = True
             slot.instruction = slot.ob["instruction"]
+            slot.cache_ids = None
+            slot.needs_prefill = True
             self.update_scanvp_cands([slot.ob])
 
         def fill(slot) -> bool:
@@ -520,6 +611,14 @@ class MP3DAgent:
             _init_episode(slot)
 
         use_mem = getattr(self.runner, "device_memory", True)
+        # prompt-prefix KV caching: per step the device forwards only
+        # the new history tokens + the candidates section instead of
+        # the whole prompt (the instruction+history prefix is
+        # append-only per episode). Auto-off when the cache would not
+        # fit next to the weights (7B eval-only on 16 GB).
+        use_cache = use_mem and getattr(args, "prefix_cache", True) and \
+            self.runner.prefix_cache_enabled(num_slots,
+                                             self.dims.max_prefix)
         # TWO slot groups pipeline the memory path: while the device runs
         # group A's fused step (dispatch is async, only a_t is ever
         # downloaded), the host retires group B's previous actions
@@ -534,7 +633,7 @@ class MP3DAgent:
             __slots__ = ("slots", "mem_state", "reset_rows", "pending",
                          "pano_inputs", "gmap_in", "nav_batch", "cur_ids",
                          "cand_ids", "real_mask", "a_t_override", "a_t",
-                         "fuse_embeds")
+                         "fuse_embeds", "cache", "prefill_items")
 
         streams: List[Stream] = []
         for _ in range(n_streams):
@@ -550,6 +649,9 @@ class MP3DAgent:
             # width; a second stream only forms if samples remain
             st.mem_state = (self.runner.memory_init(len(st.slots))
                             if use_mem else None)
+            st.cache = (self.runner.prefix_cache_init(
+                len(st.slots), self.dims.max_prefix) if use_cache else None)
+            st.prefill_items = []
             # slots refilled last iteration; their device memory is
             # zeroed at the start of the fused step
             st.reset_rows = np.zeros(len(st.slots), bool)
@@ -654,12 +756,29 @@ class MP3DAgent:
                         gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
                         width=host_pano_masks.shape[1] + 1)
                 with self.timer.stage("na_prompts"):
-                    order, prompts, _ = self.cand_order_and_prompts(
+                    order, prompts, cand_nums = self.cand_order_and_prompts(
                         gmap_in, [sl.instruction for sl in active],
                         [sl.history for sl in active], validate=True)
                 with self.timer.stage("na_tok"):
-                    tok_batch, cand_pos, hist_pos, cls_pos = \
-                        self.runner.tokenize_with_positions(prompts)
+                    if use_cache:
+                        C = self.dims.max_cands
+                        probes = [self.get_prompt(
+                            "navigation", instruction=sl.instruction,
+                            hist_num=len(sl.history) + 1,
+                            cand_num=min(cn, C + 1),
+                            cls_token=CLS_TOKEN_TEXT)
+                            for sl, cn in zip(active, cand_nums)]
+                        app_l, suf_l, st.prefill_items = \
+                            self._cached_prompt_windows(
+                                active, prompts, probes,
+                                self.dims.max_prefix)
+                        tok = self.runner.tok
+                        win = self._window_arrays(
+                            app_l, suf_l, tok.cand_id, tok.hist_id,
+                            tok.cls_ids[0], C)
+                    else:
+                        tok_batch, cand_pos, hist_pos, cls_pos = \
+                            self.runner.tokenize_with_positions(prompts)
             nav_batch = {
                 "gmap_step_ids": gmap_in["gmap_step_ids"],
                 "gmap_pos_fts": gmap_in["gmap_pos_fts"],
@@ -669,12 +788,17 @@ class MP3DAgent:
                 "pano_masks": vp_in["pano_masks"],
                 "local_match_slot": match,
                 "cand_order": order,
-                "cand_positions": cand_pos,
-                "hist_positions": hist_pos,
-                "input_ids": tok_batch.input_ids,
-                "attention_mask": tok_batch.attention_mask,
-                "cls_pos": cls_pos,
             }
+            if use_cache:
+                nav_batch.update(win)
+            else:
+                nav_batch.update({
+                    "cand_positions": cand_pos,
+                    "hist_positions": hist_pos,
+                    "input_ids": tok_batch.input_ids,
+                    "attention_mask": tok_batch.attention_mask,
+                    "cls_pos": cls_pos,
+                })
             # oracle slots follow the expert policy: teacher actions are
             # host-computable (shortest-path argmin, no model needed)
             st.a_t_override = np.full(n, -1, np.int32)
@@ -708,8 +832,54 @@ class MP3DAgent:
             st.nav_batch = nav_batch
             return True
 
+        def _flush_prefill(st: Stream):
+            """Prefill queued refilled rows BEFORE the eval step (device
+            executes in dispatch order, so the step sees fresh K/V).
+            Fixed batch width; padding entries rewrite the old content
+            of distinct rows that are NOT being prefilled."""
+            items = st.prefill_items
+            st.prefill_items = []
+            if not items:
+                return
+            width = len(st.slots)
+            bp = min(8, width)
+            for c0 in range(0, len(items), bp):
+                chunk = items[c0: c0 + bp]
+                # padding targets only need to be distinct from THIS
+                # call's rows (a later chunk's prefill overwrites any
+                # no-op rewrite of its row)
+                spare = [r for r in range(width)
+                         if r not in {i for i, _ in chunk}]
+                p_w = max(64, -(-max(len(p) for _, p in chunk) // 64) * 64)
+                ids = np.zeros((bp, p_w), np.int32)
+                mask = np.zeros((bp, p_w), bool)
+                rows = np.zeros(bp, np.int32)
+                valid = np.zeros(bp, bool)
+                for j, (r, pref) in enumerate(chunk):
+                    ids[j, : len(pref)] = pref
+                    mask[j, : len(pref)] = True
+                    rows[j] = r
+                    valid[j] = True
+                for j in range(len(chunk), bp):
+                    rows[j] = spare[j - len(chunk)]
+                with self.timer.stage("prefill_dispatch"):
+                    st.cache = self.runner.prefill(st.cache, ids, mask,
+                                                   rows, valid)
+
         def _dispatch(st: Stream):
-            if use_mem:
+            if use_cache:
+                _flush_prefill(st)
+                with self.timer.stage("nav_dispatch"):
+                    st.mem_state, st.cache, st.a_t, _ = \
+                        self.runner.eval_step_cached(
+                            st.mem_state, st.cache, st.pano_inputs,
+                            st.nav_batch, st.reset_rows, st.cur_ids,
+                            st.cand_ids, st.real_mask, st.a_t_override,
+                            do_sample=(feedback == "sample"),
+                            temperature=getattr(args, "temperature", 1.0),
+                            sync=False)
+                st.fuse_embeds = None
+            elif use_mem:
                 # ONE device call: reset refills -> pano -> mem update ->
                 # nav forward -> action select -> hist append. Async —
                 # a_t stays a device array until _post materializes it.

@@ -40,11 +40,15 @@ class RolloutDims:
     max_cands: int = 99         # <cand> tokens per prompt (out_head slots - 1)
     max_hist: int = 32          # <hist> tokens (max action len is 30)
     max_objects: int = 72
+    # prompt-prefix KV cache capacity per slot (instruction + history
+    # tokens; streaming eval raises if a prompt's cacheable prefix
+    # outgrows this — raise it for very long CVDN dialogs)
+    max_prefix: int = 768
 
     @classmethod
     def tiny(cls) -> "RolloutDims":
         return cls(max_gmap_nodes=16, max_views=40, max_cands=8, max_hist=8,
-                   max_objects=8)
+                   max_objects=8, max_prefix=448)
 
 
 class NavModelRunner:
@@ -340,6 +344,21 @@ class NavModelRunner:
                                 active_mask, a_t_override, rng, do_sample,
                                 temperature)
 
+        @functools.partial(jax.jit, static_argnames=("do_sample",),
+                           donate_argnames=("state", "cache"))
+        def eval_step_cached_fn(params, state, cache, pano_in, batch,
+                                reset_mask, cur_ids, cand_ids, active_mask,
+                                a_t_override, rng, temperature, do_sample):
+            return DM.eval_step_cached(params, cfg, pano_apply, state, cache,
+                                       pano_in, batch, reset_mask, cur_ids,
+                                       cand_ids, active_mask, a_t_override,
+                                       rng, do_sample, temperature)
+
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def prefill_prefix_fn(params, cache, ids, mask, rows, valid):
+            return DM.prefill_prefix(params, cfg.llm, cache, ids, mask,
+                                     rows, valid)
+
         @jax.jit
         def hist_append_fn(state, fuse_embeds, a_t):
             return DM.hist_append(state, fuse_embeds, a_t)
@@ -395,6 +414,8 @@ class NavModelRunner:
             return accum, loss, logits
 
         self._eval_step_fn = eval_step_fn
+        self._eval_step_cached_fn = eval_step_cached_fn
+        self._prefill_prefix_fn = prefill_prefix_fn
         self._pano_dict_fn = pano_dict_fn
         self._pano_fwd_fn = pano_fwd_fn
         self._pano_vjp_fn = pano_vjp_fn
@@ -620,6 +641,49 @@ class NavModelRunner:
             jnp.asarray(a_t_override, jnp.int32), self._next_rng(),
             jnp.float32(temperature), do_sample=do_sample)
         return state, (np.asarray(a_t) if sync else a_t), logits
+
+    def prefix_cache_init(self, batch: int, max_prefix: int):
+        from . import device_memory as DM
+        return DM.init_prefix_cache(self.cfg.llm, batch, max_prefix)
+
+    def prefix_cache_enabled(self, batch: int, max_prefix: int) -> bool:
+        """Auto policy: cache the prompt prefix when the K/V cache fits
+        comfortably next to the weights (7B eval-only on 16 GB does
+        not; the proxy and smaller do)."""
+        c = self.cfg.llm
+        bytes_needed = (2 * c.num_layers * batch * max_prefix
+                        * c.num_kv_heads * c.head_dim
+                        * jnp.dtype(c.dtype).itemsize)
+        params_bytes = sum(x.size * x.dtype.itemsize
+                           for x in jax.tree.leaves(self.params))
+        return self.device_memory and \
+            (bytes_needed + params_bytes) < 9e9
+
+    def prefill(self, cache, ids, mask, rows, valid):
+        """Prefill refilled rows' prefixes; rows must be distinct (pad
+        entries point at rows not being prefilled, valid=False)."""
+        return self._prefill_prefix_fn(
+            self.params, cache, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(rows, jnp.int32), jnp.asarray(valid))
+
+    def eval_step_cached(self, state, cache, pano_inputs, batch, reset_mask,
+                         cur_ids, cand_ids, active_mask, a_t_override=None,
+                         do_sample: bool = False, temperature: float = 1.0,
+                         sync: bool = True):
+        """Prefix-cached fused eval step (device_memory.eval_step_cached).
+        Same contract as eval_step plus the cache; returns
+        (state', cache', a_t, logits)."""
+        pano_dev = self._pano_dev_inputs(pano_inputs)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        if a_t_override is None:
+            a_t_override = np.full(len(cur_ids), -1, np.int32)
+        state, cache, a_t, logits = self._eval_step_cached_fn(
+            self.params, state, cache, pano_dev, dev,
+            jnp.asarray(reset_mask), jnp.asarray(cur_ids),
+            jnp.asarray(cand_ids), jnp.asarray(active_mask),
+            jnp.asarray(a_t_override, jnp.int32), self._next_rng(),
+            jnp.float32(temperature), do_sample=do_sample)
+        return state, cache, (np.asarray(a_t) if sync else a_t), logits
 
     def navigation_from_memory(self, state, batch: Dict[str, np.ndarray],
                                pano_embeds):

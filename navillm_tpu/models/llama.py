@@ -247,6 +247,68 @@ def decode_step(params, cfg: LlamaConfig, inputs_embeds, prompt_kv,
     return x, {"k": new_kv[0], "v": new_kv[1]}
 
 
+def chunk_forward_cached(params, cfg: LlamaConfig, inputs_embeds, prefix_kv,
+                         prefix_mask, suffix_mask, positions,
+                         write_offsets=None):
+    """Forward an S-token suffix window against a per-row ragged prefix
+    KV cache (vLLM-style prefix caching for the rollout loop: the
+    instruction+history part of the navigation prompt is append-only
+    per episode, so each step only processes the new history tokens and
+    the candidates section instead of the whole prompt).
+
+    inputs_embeds [B, S, H]; prefix_kv {"k","v"} [L, B, P, NKV, D]
+    (post-rope, rows right-aligned at positions 0..len-1);
+    prefix_mask [B, P] validity; suffix_mask [B, S] validity
+    (right-padded); positions [B, S] absolute rope positions
+    (prefix_len[b] + j for valid j). Attention: each suffix token sees
+    the row's valid prefix plus suffix tokens <= itself.
+
+    write_offsets [B] (optional): additionally scatter the window's
+    post-rope K/V into the cache at slots write_offsets[b] + j for
+    valid j (the per-step history append). The written slots are NOT in
+    prefix_mask yet, so there is no double counting this call; the
+    caller extends prefix_mask afterwards. Returns (hidden [B, S, H],
+    updated prefix_kv) — prefix_kv passes through unchanged when
+    write_offsets is None.
+    """
+    b, s, _ = inputs_embeds.shape
+    p = prefix_kv["k"].shape[2]
+    cos, sin = rope_tables(cfg, positions)
+    pm = jnp.broadcast_to(prefix_mask[:, None, :], (b, s, p))
+    qi = jnp.arange(s)[None, :, None]
+    kj = jnp.arange(s)[None, None, :]
+    sm = (kj <= qi) & suffix_mask[:, None, :]
+    kv_mask = jnp.concatenate([pm, jnp.broadcast_to(sm, (b, s, s))], axis=-1)
+
+    x = inputs_embeds.astype(cfg.dtype)
+    if write_offsets is not None:
+        widx = write_offsets[:, None] + jnp.arange(s)[None, :]    # [B, S]
+        wok = suffix_mask & (widx < p)
+        wsafe = jnp.minimum(widx, p - 1)
+        bgrid = jnp.broadcast_to(jnp.arange(b)[:, None], (b, s))
+
+    def body(x, layer_in):
+        lp, pk, pv = layer_in
+        q, k, v = _qkv(cfg, x, lp, cos, sin)
+        if write_offsets is not None:
+            pk = pk.at[bgrid, wsafe].set(
+                jnp.where(wok[..., None, None], k.astype(pk.dtype),
+                          pk[bgrid, wsafe]))
+            pv = pv.at[bgrid, wsafe].set(
+                jnp.where(wok[..., None, None], v.astype(pv.dtype),
+                          pv[bgrid, wsafe]))
+        keys = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
+        vals = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
+        attn = multi_head_attention(q, keys, vals, kv_mask=kv_mask,
+                                    causal=False, impl="xla")
+        return _post_attn(cfg, x, lp, attn), (pk, pv)
+
+    x, new_kv = jax.lax.scan(
+        body, x, (params["layers"], prefix_kv["k"], prefix_kv["v"]))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, {"k": new_kv[0], "v": new_kv[1]}
+
+
 def embed_with_injection(params, input_ids, special_positions=None,
                          special_embeds=None):
     """inputs_embeds = embed[ids] (+= visual embeds at special positions).

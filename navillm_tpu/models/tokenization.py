@@ -58,20 +58,29 @@ class ByteTokenizer:
         self.true_vocab_size = nxt + 1
         self.bos_token, self.eos_token, self.pad_token = "<s>", "</s>", "<PAD>"
         self._id_to_special = {v: k for k, v in self._special.items()}
+        self._marker_re = None
 
     def encode(self, text: str) -> List[int]:
+        """Vectorized: regex-split on special-token markers, bulk-map the
+        byte segments via numpy (the per-char Python loop dominated the
+        streaming-eval host budget at ~600-char prompts x 32 slots)."""
+        import re
+        if self._marker_re is None:
+            markers = sorted(self._special, key=len, reverse=True)
+            self._marker_re = re.compile(
+                "(" + "|".join(re.escape(m) for m in markers) + ")")
+        import numpy as _np
         ids: List[int] = []
-        i = 0
-        markers = sorted(self._special, key=len, reverse=True)
-        while i < len(text):
-            for m in markers:
-                if text.startswith(m, i):
-                    ids.append(self._special[m])
-                    i += len(m)
-                    break
+        for part in self._marker_re.split(text):
+            if not part:
+                continue
+            sp = self._special.get(part)
+            if sp is not None:
+                ids.append(sp)
             else:
-                ids.extend(self._byte0 + b for b in text[i].encode("utf-8"))
-                i += 1
+                ids.extend((_np.frombuffer(part.encode("utf-8"),
+                                           dtype=_np.uint8)
+                            .astype(_np.int64) + self._byte0).tolist())
         return ids
 
     def decode(self, ids: Sequence[int], skip_special_tokens=True) -> str:

@@ -119,6 +119,15 @@ class TrainArgs:
     # continuous slot-refill evaluation (TPU-native; SURVEY.md §7.2.7) —
     # disable to exactly reproduce the reference's batched eval loop
     streaming_eval: bool = True
+    # prompt-prefix KV caching inside streaming eval: per step the LLM
+    # forwards only the new history tokens + candidates section
+    # (trajectory-identical to the full forward; auto-off when the
+    # cache wouldn't fit next to the weights). OPT-IN: it pays when the
+    # instruction/dialog prefix dominates the prompt (long CVDN
+    # dialogs, subword tokenizers); on the byte-tokenizer synthetic
+    # bench the candidates suffix is ~70% of tokens and the measured
+    # A/B was neutral (12.9 vs 13.2 eps/s) — see docs/PERFORMANCE.md.
+    prefix_cache: bool = False
     # fused whole-trajectory teacher-forcing training (one LLM call per
     # trajectory instead of per step; same gradients — SURVEY.md §7.1)
     fused_teacher: bool = True

@@ -117,3 +117,76 @@ def test_eager_decode_loop_matches_scan_loop():
     got_eager = np.asarray(generate(p, CFG, ids, mask, eos_id=2, pad_id=0,
                                     max_new_tokens=n_new, loop="eager"))
     np.testing.assert_array_equal(got_scan, got_eager)
+
+
+def test_chunk_forward_cached_matches_full_forward():
+    """Prefix-cache path == full forward: per-row ragged prefixes, a
+    written history-append window, then a candidates suffix window —
+    the three phases of the prefix-cached rollout step."""
+    cfg = L.LlamaConfig.tiny(vocab_size=128)
+    params = L.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    B, P = 3, 24
+    pre_lens = np.array([10, 24, 5])
+    app_lens = np.array([3, 0, 2])          # ragged append window
+    suf_lens = np.array([7, 4, 6])          # ragged suffix window
+    A, S = 4, 8
+    ids = {k: rng.randint(3, 127, (B, n)).astype(np.int32)
+           for k, n in (("pre", P), ("app", A), ("suf", S))}
+
+    def window_mask(lens, width):
+        return np.arange(width)[None, :] < lens[:, None]
+
+    # ---- reference: one full forward per row (right-padded) ----
+    full_hidden = []
+    for b in range(B):
+        row = np.concatenate([ids["pre"][b, :pre_lens[b]],
+                              ids["app"][b, :app_lens[b]],
+                              ids["suf"][b, :suf_lens[b]]])[None]
+        emb = L.embed_with_injection(params, row)
+        h, _ = L.forward_hidden(params, cfg, emb,
+                                jnp.ones(row.shape, bool))
+        full_hidden.append(np.asarray(h[0]))
+
+    # ---- cached path ----
+    # phase 1: prefill the ragged prefixes (batched, right-padded)
+    pm = window_mask(pre_lens, P)
+    emb = L.embed_with_injection(params, ids["pre"])
+    _, kv = L.forward_hidden(params, cfg, emb * pm[:, :, None],
+                             jnp.asarray(pm), return_kv=True)
+    # grow the cache region so append slots exist
+    pad = 6
+    cache = {k: jnp.concatenate(
+        [v, jnp.zeros((*v.shape[:2], pad, *v.shape[3:]), v.dtype)], axis=2)
+        for k, v in kv.items()}
+    prefix_mask = np.concatenate([pm, np.zeros((B, pad), bool)], 1)
+
+    # phase 2: append window (written into the cache)
+    am = window_mask(app_lens, A)
+    pos = pre_lens[:, None] + np.arange(A)[None, :]
+    emb = L.embed_with_injection(params, ids["app"])
+    h_app, cache = L.chunk_forward_cached(
+        params, cfg, emb * am[:, :, None], cache, jnp.asarray(prefix_mask),
+        jnp.asarray(am), jnp.asarray(pos), write_offsets=jnp.asarray(pre_lens))
+    ext = (np.arange(P + pad)[None, :] < (pre_lens + app_lens)[:, None])
+    prefix_mask = ext
+
+    # phase 3: suffix window (read-only)
+    sm = window_mask(suf_lens, S)
+    pos = (pre_lens + app_lens)[:, None] + np.arange(S)[None, :]
+    emb = L.embed_with_injection(params, ids["suf"])
+    h_suf, _ = L.chunk_forward_cached(
+        params, cfg, emb * sm[:, :, None], cache, jnp.asarray(prefix_mask),
+        jnp.asarray(sm), jnp.asarray(pos))
+
+    for b in range(B):
+        ref = full_hidden[b]
+        if app_lens[b]:
+            np.testing.assert_allclose(
+                np.asarray(h_app[b, :app_lens[b]]),
+                ref[pre_lens[b]: pre_lens[b] + app_lens[b]],
+                rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(h_suf[b, :suf_lens[b]]),
+            ref[pre_lens[b] + app_lens[b]:],
+            rtol=2e-4, atol=2e-4)

@@ -137,6 +137,7 @@ def test_streaming_eqa_with_oracle(train_args, task_config, data_dir,
     args.image_feat_size = runner.cfg.pano.image_feat_size
     args.obj_feat_size = runner.cfg.pano.obj_feat_size
     args.val_batch_size = 2
+    args.prefix_cache = True     # cover trie+oracle on the cached path
     optim_cfg = ConfigDict({"Optim": {"val_max_action_len": {"EQA": 5},
                                       "train_max_action_len": {"EQA": 4}}})
     world = WorldModel(str(data_dir / "connectivity"))
@@ -186,6 +187,7 @@ def test_streaming_gen_queue_drains_under_flood(train_args, task_config,
     args.image_feat_size = runner.cfg.pano.image_feat_size
     args.obj_feat_size = runner.cfg.pano.obj_feat_size
     args.val_batch_size = 2
+    args.prefix_cache = True     # flood the cached path's refill/prefill
     optim_cfg = ConfigDict({"Optim": {"val_max_action_len": {"EQA": 1},
                                       "train_max_action_len": {"EQA": 1}}})
     world = WorldModel(str(root / "connectivity"))
@@ -225,3 +227,34 @@ def test_streaming_summarization_test_mode(train_args, task_config, data_dir,
     # surfaced by get_results as pred/gt answers
     for p in preds:
         assert "pred_answer" in p and isinstance(p["pred_answer"], str)
+
+
+def test_prefix_cache_matches_uncached(train_args, task_config, data_dir,
+                                       runner, optim_cfg):
+    """Prefix-cached streaming eval == uncached streaming eval,
+    trajectory for trajectory (the cache is a pure compute-saving
+    transform: causal attention over an append-only prefix)."""
+    args = train_args
+    args.image_feat_size = runner.cfg.pano.image_feat_size
+    args.obj_feat_size = runner.cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size))
+    agent = load_agent("r2r", args, world, runner)
+
+    def run(prefix_cache):
+        args.prefix_cache = prefix_cache
+        # reset the policy rng so both runs see identical streams
+        agent.runner.rng = jax.random.PRNGKey(123)
+        loader = Dataloader(ds, batch_size=2, shuffle=False)
+        preds = agent.validate_streaming("R2R", args, optim_cfg, loader,
+                                         dataset=ds)
+        return {p["instr_id"]: p["trajectory"] for p in preds}
+
+    cached = run(True)
+    uncached = run(False)
+    args.prefix_cache = True
+    assert set(cached) == set(uncached)
+    assert cached == uncached
