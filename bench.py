@@ -1,12 +1,16 @@
 """Benchmark harness: prints ONE JSON line for the round driver.
 
 Modes (--mode):
-  train_step (default): navigation-step training throughput — fwd + bwd
-      + AdamW of the full NavModel on one chip. The per-step LLM fwd/bwd
+  rollout (default): full end-to-end greedy episode rollouts/sec on a
+      synthetic world (sim + feature DB + prompts + LLM policy + env
+      stepping) via the two-slot-group streaming pipeline.
+  train_step: navigation-step training throughput — fwd + bwd + AdamW
+      of the full NavModel on one chip. The per-step LLM fwd/bwd
       dominates the reference's rollout hot loop (SURVEY.md §3.2).
-  rollout: full end-to-end greedy episode rollouts/sec on a synthetic
-      world (sim + feature DB + prompts + LLM policy + env stepping).
+  train_e2e: end-to-end training on the alternating teacher/DAgger
+      recipe (sim + features + prompts + LLM fwd/bwd + optimizer).
   decode: autoregressive tokens/sec/chip with KV cache.
+--model 7b runs eval modes at TRUE Vicuna-7B dims (bf16).
 
 Baseline derivation (no throughput number exists in the reference —
 BASELINE.md): multi-stage trains 2000 iters/epoch at batch 8 episodes
