@@ -280,7 +280,7 @@ class MP3DAgent:
                 cls_token=CLS_TOKEN_TEXT))
         return order, prompts, cand_nums
 
-    def _cached_prompt_windows(self, slots, prompts, probes, max_prefix):
+    def _cached_prompt_windows(self, slots, prompts, probe_fn, max_prefix):
         """Split each slot's navigation prompt into (append window,
         suffix window) relative to its cached prefix.
 
@@ -303,11 +303,22 @@ class MP3DAgent:
                 suf_list.append(empty)
                 continue
             ids = np.asarray(tok.encode(prompts[i], add_bos=True), np.int32)
+            if len(ids) > tok.max_length:
+                # the uncached path would LEFT-truncate here, which
+                # invalidates an append-only prefix cache; fail loudly
+                # rather than silently diverge from the full forward
+                raise RuntimeError(
+                    f"navigation prompt ({len(ids)} tokens) exceeds "
+                    f"max_length={tok.max_length}; prefix caching cannot "
+                    f"reproduce left truncation — disable "
+                    f"args.prefix_cache for this dataset")
             hp = np.nonzero(ids == hist_id)[0]
             if len(hp):
                 lcp = int(hp[-1]) + 1
             else:
-                pids = np.asarray(tok.encode(probes[i], add_bos=True),
+                # probe built lazily: only fresh rows (no history yet)
+                # consume one
+                pids = np.asarray(tok.encode(probe_fn(i), add_bos=True),
                                   np.int32)
                 m = min(len(ids), len(pids))
                 ne = ids[:m] != pids[:m]
@@ -616,9 +627,10 @@ class MP3DAgent:
         # the whole prompt (the instruction+history prefix is
         # append-only per episode). Auto-off when the cache would not
         # fit next to the weights (7B eval-only on 16 GB).
-        use_cache = use_mem and getattr(args, "prefix_cache", True) and \
+        use_cache = use_mem and getattr(args, "prefix_cache", False) and \
             self.runner.prefix_cache_enabled(num_slots,
-                                             self.dims.max_prefix)
+                                             self.dims.max_prefix,
+                                             n_caches=2)
         # TWO slot groups pipeline the memory path: while the device runs
         # group A's fused step (dispatch is async, only a_t is ever
         # downloaded), the host retires group B's previous actions
@@ -762,15 +774,18 @@ class MP3DAgent:
                 with self.timer.stage("na_tok"):
                     if use_cache:
                         C = self.dims.max_cands
-                        probes = [self.get_prompt(
-                            "navigation", instruction=sl.instruction,
-                            hist_num=len(sl.history) + 1,
-                            cand_num=min(cn, C + 1),
-                            cls_token=CLS_TOKEN_TEXT)
-                            for sl, cn in zip(active, cand_nums)]
+
+                        def probe_fn(i):
+                            return self.get_prompt(
+                                "navigation",
+                                instruction=active[i].instruction,
+                                hist_num=len(active[i].history) + 1,
+                                cand_num=min(cand_nums[i], C + 1),
+                                cls_token=CLS_TOKEN_TEXT)
+
                         app_l, suf_l, st.prefill_items = \
                             self._cached_prompt_windows(
-                                active, prompts, probes,
+                                active, prompts, probe_fn,
                                 self.dims.max_prefix)
                         tok = self.runner.tok
                         win = self._window_arrays(

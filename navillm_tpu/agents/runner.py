@@ -646,14 +646,16 @@ class NavModelRunner:
         from . import device_memory as DM
         return DM.init_prefix_cache(self.cfg.llm, batch, max_prefix)
 
-    def prefix_cache_enabled(self, batch: int, max_prefix: int) -> bool:
-        """Auto policy: cache the prompt prefix when the K/V cache fits
+    def prefix_cache_enabled(self, batch: int, max_prefix: int,
+                             n_caches: int = 1) -> bool:
+        """Auto policy: cache the prompt prefix when the K/V caches fit
         comfortably next to the weights (7B eval-only on 16 GB does
-        not; the proxy and smaller do)."""
+        not; the proxy and smaller do). n_caches: one per slot group
+        (the two-stream pipeline allocates two)."""
         c = self.cfg.llm
-        bytes_needed = (2 * c.num_layers * batch * max_prefix
-                        * c.num_kv_heads * c.head_dim
-                        * jnp.dtype(c.dtype).itemsize)
+        bytes_needed = n_caches * (2 * c.num_layers * batch * max_prefix
+                                   * c.num_kv_heads * c.head_dim
+                                   * jnp.dtype(c.dtype).itemsize)
         params_bytes = sum(x.size * x.dtype.itemsize
                            for x in jax.tree.leaves(self.params))
         return self.device_memory and \

@@ -282,21 +282,27 @@ def chunk_forward_cached(params, cfg: LlamaConfig, inputs_embeds, prefix_kv,
 
     x = inputs_embeds.astype(cfg.dtype)
     if write_offsets is not None:
+        # widx is strictly increasing per row, so in-bounds indices are
+        # DISTINCT (no scatter-order hazard); out-of-bounds entries are
+        # dropped via mode="drop" rather than clamped — clamping would
+        # collide padding entries onto slot p-1 and nondeterministically
+        # overwrite a real write when an append exactly fills the cache
         widx = write_offsets[:, None] + jnp.arange(s)[None, :]    # [B, S]
         wok = suffix_mask & (widx < p)
-        wsafe = jnp.minimum(widx, p - 1)
         bgrid = jnp.broadcast_to(jnp.arange(b)[:, None], (b, s))
 
     def body(x, layer_in):
         lp, pk, pv = layer_in
         q, k, v = _qkv(cfg, x, lp, cos, sin)
         if write_offsets is not None:
-            pk = pk.at[bgrid, wsafe].set(
-                jnp.where(wok[..., None, None], k.astype(pk.dtype),
-                          pk[bgrid, wsafe]))
-            pv = pv.at[bgrid, wsafe].set(
-                jnp.where(wok[..., None, None], v.astype(pv.dtype),
-                          pv[bgrid, wsafe]))
+            old_k = pk.at[bgrid, widx].get(mode="clip")
+            old_v = pv.at[bgrid, widx].get(mode="clip")
+            pk = pk.at[bgrid, widx].set(
+                jnp.where(wok[..., None, None], k.astype(pk.dtype), old_k),
+                mode="drop")
+            pv = pv.at[bgrid, widx].set(
+                jnp.where(wok[..., None, None], v.astype(pv.dtype), old_v),
+                mode="drop")
         keys = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
         vals = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
         attn = multi_head_attention(q, keys, vals, kv_mask=kv_mask,

@@ -246,8 +246,12 @@ def test_prefix_cache_matches_uncached(train_args, task_config, data_dir,
 
     def run(prefix_cache):
         args.prefix_cache = prefix_cache
-        # reset the policy rng so both runs see identical streams
+        # reset BOTH rng streams so the runs are bit-comparable: the
+        # device policy rng AND the host np_rng that draws candidate
+        # permutations (candidate order changes prompt positions, which
+        # the model is not invariant to)
         agent.runner.rng = jax.random.PRNGKey(123)
+        agent.np_rng = np.random.RandomState(77)
         loader = Dataloader(ds, batch_size=2, shuffle=False)
         preds = agent.validate_streaming("R2R", args, optim_cfg, loader,
                                          dataset=ds)
