@@ -69,7 +69,17 @@ class NavModelRunner:
         self.feat_dropout = feat_dropout
         self.ignore_id = ignore_id
         self.rng = jax.random.PRNGKey(seed)
-        self._special_mask = jnp.asarray(tokenizer.special_logit_mask())
+        # the LLM embedding table may be wider than the tokenizer vocab
+        # (e.g. 7B benches keep the true 32k-wide table for honest
+        # memory/FLOP accounting while the hermetic tokenizer has ~1k
+        # ids): alignment-padding columns beyond the tokenizer are
+        # masked like specials
+        smask = np.asarray(tokenizer.special_logit_mask())
+        v = cfg.llm.vocab_size
+        if smask.shape[0] < v:
+            smask = np.concatenate(
+                [smask, np.ones(v - smask.shape[0], bool)])
+        self._special_mask = jnp.asarray(smask[:v])
         self.grad_accum = None
         self.plan = mesh_plan
         # diagnostic: count of device_put calls that fell back to
@@ -649,9 +659,13 @@ class NavModelRunner:
     def prefix_cache_enabled(self, batch: int, max_prefix: int,
                              n_caches: int = 1) -> bool:
         """Auto policy: cache the prompt prefix when the K/V caches fit
-        comfortably next to the weights (7B eval-only on 16 GB does
-        not; the proxy and smaller do). n_caches: one per slot group
-        (the two-stream pipeline allocates two)."""
+        comfortably next to the weights. n_caches: one per slot group
+        (the two-stream pipeline allocates two). 7B bf16 (~13.5 GB)
+        fails this; 7B int8 (~6.8 GB, models/quant.py) passes with
+        right-sized max_prefix — params_bytes is computed from the
+        ACTUAL leaves, so quantization widens the budget automatically.
+        The 12 GB ceiling leaves ~3 GB of a 16 GB chip for activations,
+        executables, and the XLA workspace."""
         c = self.cfg.llm
         bytes_needed = n_caches * (2 * c.num_layers * batch * max_prefix
                                    * c.num_kv_heads * c.head_dim
@@ -659,7 +673,7 @@ class NavModelRunner:
         params_bytes = sum(x.size * x.dtype.itemsize
                            for x in jax.tree.leaves(self.params))
         return self.device_memory and \
-            (bytes_needed + params_bytes) < 9e9
+            (bytes_needed + params_bytes) < 12e9
 
     def prefill(self, cache, ids, mask, rows, valid):
         """Prefill refilled rows' prefixes; rows must be distinct (pad

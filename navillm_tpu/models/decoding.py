@@ -68,14 +68,14 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
     @jax.jit
     def prefill(params, input_ids, attention_mask, inject_positions,
                 inject_embeds, rng, temperature):
-        vocab = params["lm_head"].shape[-1]
+        vocab = L.lm_head_dim(params)
         b = input_ids.shape[0]
         inputs_embeds = L.embed_with_injection(params, input_ids,
                                                inject_positions,
                                                inject_embeds)
         hidden, prompt_kv = L.forward_hidden(params, cfg, inputs_embeds,
                                              attention_mask, return_kv=True)
-        last_logits = (hidden[:, -1] @ params["lm_head"]).astype(jnp.float32)
+        last_logits = L._mm(hidden[:, -1], params["lm_head"]).astype(jnp.float32)
         trie_state0 = jnp.zeros((b,), jnp.int32)
         rng_, krng = jax.random.split(rng)
         tok0 = pick_token(last_logits, trie_state0, krng, temperature, vocab)
@@ -87,19 +87,19 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
     def scan_tokens(params, prompt_kv, attention_mask, tok0, done0,
                     trie_state0, rng, temperature):
         b = attention_mask.shape[0]
-        vocab = params["lm_head"].shape[-1]
+        vocab = L.lm_head_dim(params)
         prompt_lens = attention_mask.sum(axis=-1).astype(jnp.int32)   # [B]
         dec_cache = L.init_decode_cache(cfg, b, max_new_tokens)
 
         def step(carry, step_rng):
             tok, trie_state, done, dec_cache, i = carry
             # i: 0-based index of the token being fed; writes dec slot i
-            emb = params["embed"][tok][:, None, :]
+            emb = L.embed_rows(params["embed"], tok)[:, None, :]
             pos = (prompt_lens + i)[:, None]                # fed position
             hidden, dec_cache = L.decode_step(
                 params, cfg, emb, prompt_kv, attention_mask, dec_cache,
                 i, pos)
-            logits = (hidden[:, -1] @ params["lm_head"]).astype(jnp.float32)
+            logits = L._mm(hidden[:, -1], params["lm_head"]).astype(jnp.float32)
             new_trie_state = trie.advance(trie_state, tok) \
                 if trie is not None else trie_state
             nxt = pick_token(logits, new_trie_state, step_rng, temperature,
@@ -123,12 +123,12 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
         temps that OOM 7B decode on a 16 GB chip). The Python token loop
         dispatches asynchronously (no per-step sync), and dec_cache is
         donated so the region updates in place across calls."""
-        vocab = params["lm_head"].shape[-1]
-        emb = params["embed"][tok][:, None, :]
+        vocab = L.lm_head_dim(params)
+        emb = L.embed_rows(params["embed"], tok)[:, None, :]
         pos = (prompt_lens + i)[:, None]                    # fed position
         hidden, dec_cache = L.decode_step(params, cfg, emb, prompt_kv,
                                           attention_mask, dec_cache, i, pos)
-        logits = (hidden[:, -1] @ params["lm_head"]).astype(jnp.float32)
+        logits = L._mm(hidden[:, -1], params["lm_head"]).astype(jnp.float32)
         new_trie_state = trie.advance(trie_state, tok) if trie is not None \
             else trie_state
         nxt = pick_token(logits, new_trie_state, step_rng, temperature,

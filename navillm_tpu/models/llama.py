@@ -101,9 +101,15 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
     }
 
 
-def partition_specs(cfg: LlamaConfig) -> Dict[str, Any]:
-    """PartitionSpecs over a ('data', 'model') mesh (megatron-style TP)."""
-    return {
+def partition_specs(cfg: LlamaConfig, quantized: bool = False
+                    ) -> Dict[str, Any]:
+    """PartitionSpecs over a ('data', 'model') mesh (megatron-style TP).
+
+    With quantized=True the specs mirror the int8 structure from
+    models/quant.py: the int8 tensor keeps the dense weight's spec and
+    the per-output-channel scale shards on the same output axis (a
+    scale row is [..., 1, o], so its last axis follows the weight's)."""
+    specs = {
         "embed": P("model", None),
         "layers": {
             "attn_norm": P(None, None),
@@ -119,6 +125,51 @@ def partition_specs(cfg: LlamaConfig) -> Dict[str, Any]:
         "final_norm": P(None),
         "lm_head": P(None, "model"),
     }
+    if not quantized:
+        return specs
+
+    def qspec(spec: P):
+        # scale shape is weight shape with the reduction axis -> 1
+        # (embed: row scale [V, 1]); sharding the length-1 axis is
+        # meaningless so its spec entry becomes None
+        s = list(spec)
+        s[-2] = None
+        return {"q": spec, "s": P(*s)}
+
+    quant_keys = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
+    out = {
+        "embed": {"q": specs["embed"], "s": P("model", None)},
+        "layers": {k: (qspec(v) if k in quant_keys else v)
+                   for k, v in specs["layers"].items()},
+        "final_norm": specs["final_norm"],
+        "lm_head": qspec(specs["lm_head"]),
+    }
+    return out
+
+
+def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Matmul against a dense weight OR an int8 weight-only quantized
+    one (``{"q": int8 [..., h, o], "s": scale [..., 1, o]}``, per
+    output channel — models/quant.py). Dequantization folds into the
+    matmul: ``(x @ q) * s`` — XLA fuses the int8->bf16 convert into the
+    MXU operand load, so no dequantized weight copy is materialized
+    and the HBM read per weight is 1 byte/param instead of 2."""
+    if isinstance(w, dict):
+        return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
+    return x @ w
+
+
+def embed_rows(embed, ids: jnp.ndarray) -> jnp.ndarray:
+    """Embedding lookup for a dense or int8 row-quantized table
+    (``{"q": int8 [V, H], "s": [V, 1]}``, per row)."""
+    if isinstance(embed, dict):
+        return embed["q"][ids].astype(embed["s"].dtype) * embed["s"][ids]
+    return embed[ids]
+
+
+def lm_head_dim(params) -> int:
+    w = params["lm_head"]
+    return (w["q"] if isinstance(w, dict) else w).shape[-1]
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -148,18 +199,18 @@ def _qkv(cfg: LlamaConfig, x, lp, cos, sin):
     b, t, _ = x.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     attn_in = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-    q = (attn_in @ lp["wq"]).reshape(b, t, nh, d)
-    k = (attn_in @ lp["wk"]).reshape(b, t, nkv, d)
-    v = (attn_in @ lp["wv"]).reshape(b, t, nkv, d)
+    q = _mm(attn_in, lp["wq"]).reshape(b, t, nh, d)
+    k = _mm(attn_in, lp["wk"]).reshape(b, t, nkv, d)
+    v = _mm(attn_in, lp["wv"]).reshape(b, t, nkv, d)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
 def _post_attn(cfg: LlamaConfig, x, lp, attn):
     b, t, _ = x.shape
-    x = x + attn.reshape(b, t, cfg.num_heads * cfg.head_dim) @ lp["wo"]
+    x = x + _mm(attn.reshape(b, t, cfg.num_heads * cfg.head_dim), lp["wo"])
     mlp_in = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(mlp_in @ lp["w_gate"])
-    return x + (gate * (mlp_in @ lp["w_up"])) @ lp["w_down"]
+    gate = jax.nn.silu(_mm(mlp_in, lp["w_gate"]))
+    return x + _mm(gate * _mm(mlp_in, lp["w_up"]), lp["w_down"])
 
 
 def _layer(cfg: LlamaConfig, x, lp, cos, sin, kv_mask, attn_impl):
@@ -324,7 +375,7 @@ def embed_with_injection(params, input_ids, special_positions=None,
     `special_positions [B, K]` (token index of each injected embed, -1 for
     unused slots) and `special_embeds [B, K, H]` scattered with add.
     """
-    x = params["embed"][input_ids]
+    x = embed_rows(params["embed"], input_ids)
     if special_positions is not None:
         b, k = special_positions.shape
         valid = special_positions >= 0
@@ -339,7 +390,7 @@ def logits_from_hidden(params, cfg: LlamaConfig, hidden,
                        special_token_mask=None):
     """LM logits in fp32 with special-token columns masked to -inf
     (reference modified_lm.py:122-124)."""
-    logits = (hidden @ params["lm_head"]).astype(jnp.float32)
+    logits = _mm(hidden, params["lm_head"]).astype(jnp.float32)
     if special_token_mask is not None:
         logits = jnp.where(special_token_mask[None, None, :], NEG_INF, logits)
     return logits

@@ -1,0 +1,91 @@
+"""Weight-only int8 quantization for the Llama backbone (eval path).
+
+The reference runs Vicuna-7B in bf16/fp16 (models/modified_lm.py:38-53,
+nav_model.py:46-47); 7B bf16 weights are ~13.5 GB of a v5e chip's 16 GB
+HBM, which starves eval of KV-cache/slot memory (the prefix cache had to
+auto-off at 7B). Per-output-channel symmetric int8 storage halves the
+weight footprint to ~6.8 GB with bf16 accumulation:
+
+    w [..., h, o]  ->  q int8 [..., h, o],  s = amax_h(|w|)/127 [..., 1, o]
+    x @ w  ≈  (x @ q) * s          (exact per-channel dequant identity)
+
+The embedding table quantizes PER ROW (each token's vector has its own
+scale) so lookup is `q[ids] * s[ids]`. Norm weights stay in bf16 (tiny).
+
+This is an EVAL-ONLY transform: int8 leaves are not differentiable, so
+training entry points must keep the bf16 tree. Accuracy is covered by
+tests/test_quant.py (logit parity within tolerance vs bf16 + greedy
+trajectory agreement on the synthetic world).
+
+Scale dtype: scales are STORED in the weight's original dtype (bf16 for
+7B) and the int8 grid is computed against that rounded scale, so the
+dequant `(x @ q) * s` uses exactly the scale the quantizer used — no
+quantize/dequantize scale mismatch.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _quant_one(w2d: jnp.ndarray, axis: int):
+    """Symmetric per-channel int8 along `axis` (the reduction axis)."""
+    amax = jnp.max(jnp.abs(w2d.astype(jnp.float32)), axis=axis,
+                   keepdims=True)
+    s = (jnp.maximum(amax, 1e-8) / 127.0).astype(w2d.dtype)
+    q = jnp.clip(jnp.round(w2d.astype(jnp.float32) / s.astype(jnp.float32)),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _quant_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[h, o] or layer-stacked [L, h, o] -> {"q", "s"} (scale [..., 1, o]).
+
+    Stacked weights quantize one layer at a time under lax.map so the
+    fp32 transient is one layer (~180 MB at 7B), not the full stack
+    (~5.8 GB — would OOM a 16 GB chip during conversion)."""
+    if w.ndim == 3:
+        q, s = jax.lax.map(lambda wl: _quant_one(wl, axis=0), w)
+        return {"q": q, "s": s}
+    q, s = _quant_one(w, axis=-2)
+    return {"q": q, "s": s}
+
+
+def _quant_embed(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[V, H] per-ROW int8 (scale [V, 1]) for table lookups."""
+    q, s = _quant_one(w, axis=-1)
+    return {"q": q, "s": s}
+
+
+def _quantize_llama_impl(params: Dict[str, Any]) -> Dict[str, Any]:
+    layers = dict(params["layers"])
+    for k in _QUANT_KEYS:
+        layers[k] = _quant_weight(layers[k])
+    return {
+        "embed": _quant_embed(params["embed"]),
+        "layers": layers,
+        "final_norm": params["final_norm"],
+        "lm_head": _quant_weight(params["lm_head"]),
+    }
+
+
+# donate the bf16 tree: the converted-out weights free as soon as each
+# layer is quantized, so peak HBM stays ~weights + one fp32 layer
+quantize_llama_params = jax.jit(_quantize_llama_impl, donate_argnums=0)
+
+
+def quantize_nav_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize only the LLM subtree of a NavModel param tree; the
+    panorama encoder / heads (<1% of params) stay in bf16."""
+    out = dict(params)
+    out["llm"] = quantize_llama_params(params["llm"])
+    return out
+
+
+def is_quantized(params: Dict[str, Any]) -> bool:
+    tree = params.get("llm", params)
+    return isinstance(tree.get("lm_head"), dict)
