@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--output_file", required=True)
     ap.add_argument("--batch_size", type=int, default=36)
     ap.add_argument("--scans", nargs="*", default=None)
+    ap.add_argument("--workers", type=int, default=0,
+                    help="decode worker processes (0 = serial in-process;"
+                         " N>0 spawns N workers + a single HDF5 writer"
+                         " thread, the reference's Ray-pool equivalent)")
     args = ap.parse_args()
 
     import jax
@@ -49,15 +53,30 @@ def main():
         print("WARNING: no --checkpoint, using random ViT weights")
         params = init_vit_params(jax.random.PRNGKey(0), cfg)
 
+    import functools
     if args.image_dir:
         source = DirectoryImageSource(args.image_dir)
+        factory = functools.partial(DirectoryImageSource, args.image_dir)
     else:
-        source = MatterSimImageSource(args.connectivity_dir, args.scan_dir)
+        source = None
+        # per-worker simulator, like the reference's per-actor
+        # build_simulator (extract_features_mp3d.py:36-50)
+        factory = functools.partial(MatterSimImageSource,
+                                    args.connectivity_dir, args.scan_dir)
 
     scanvps = list_scan_viewpoints(args.connectivity_dir, args.scans)
     print(f"extracting {len(scanvps)} viewpoints -> {args.output_file}")
-    FeatureExtractor(params, cfg, args.batch_size).extract_to_hdf5(
-        args.output_file, source, scanvps)
+    if args.workers > 0:
+        from navillm_tpu.vision.extract import ParallelFeatureExtractor
+        pe = ParallelFeatureExtractor(params, cfg, args.batch_size,
+                                      num_workers=args.workers)
+        ips = pe.extract_to_hdf5(args.output_file, factory, scanvps)
+        print(f"throughput: {ips:.1f} images/sec "
+              f"(~{len(scanvps) * 36 / max(ips, 1e-9) / 3600:.1f} h for "
+              f"this viewpoint set)")
+    else:
+        FeatureExtractor(params, cfg, args.batch_size).extract_to_hdf5(
+            args.output_file, source or factory(), scanvps)
 
 
 if __name__ == "__main__":

@@ -61,3 +61,76 @@ def test_list_scan_viewpoints(world_dir):
     scans = {s for s, _ in pairs}
     assert scans == {"scan0", "scan1"}
     assert len(pairs) == 16 + 15
+
+
+def test_parallel_extractor_matches_serial(tmp_path):
+    """ParallelFeatureExtractor (spawned decode workers + single writer
+    thread) must produce the same keys and features as the serial path
+    — writer correctness under concurrent producers (VERDICT r2 #7)."""
+    from navillm_tpu.vision.extract import ParallelFeatureExtractor
+    import h5py
+
+    cfg = ViTConfig.tiny()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    imgroot = tmp_path / "views"
+    scanvps = [(f"scan{i % 3}", f"vp{i}") for i in range(7)]
+    for scan, vp in scanvps:
+        _write_views(imgroot, scan, vp)
+
+    serial = tmp_path / "serial.hdf5"
+    FeatureExtractor(params, cfg, batch_size=4).extract_to_hdf5(
+        serial, DirectoryImageSource(imgroot), scanvps, num_views=4,
+        progress=False)
+
+    par = tmp_path / "par.hdf5"
+    pe = ParallelFeatureExtractor(params, cfg, batch_size=4, num_workers=2,
+                                  queue_depth=3)
+    ips = pe.extract_to_hdf5(par, DirectoryImageSource(imgroot), scanvps,
+                             num_views=4, progress=False)
+    assert ips > 0
+
+    with h5py.File(serial, "r") as fs, h5py.File(par, "r") as fp:
+        assert set(fs.keys()) == set(fp.keys())
+        for k in fs.keys():
+            np.testing.assert_allclose(fs[k][...], fp[k][...],
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_parallel_extractor_source_factory(tmp_path):
+    """A zero-arg factory constructs the source inside each worker (the
+    MatterSim path: per-worker simulator, reference
+    extract_features_mp3d.py:36-50)."""
+    from navillm_tpu.vision.extract import ParallelFeatureExtractor
+    import functools
+    import h5py
+
+    cfg = ViTConfig.tiny()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    imgroot = tmp_path / "views"
+    scanvps = [("scanA", "vp0"), ("scanA", "vp1")]
+    for scan, vp in scanvps:
+        _write_views(imgroot, scan, vp)
+
+    factory = functools.partial(DirectoryImageSource, imgroot)
+    out = tmp_path / "fact.hdf5"
+    pe = ParallelFeatureExtractor(params, cfg, batch_size=4, num_workers=1)
+    pe.extract_to_hdf5(out, factory, scanvps, num_views=4, progress=False)
+    with h5py.File(out, "r") as f:
+        assert set(f.keys()) == {"scanA_vp0", "scanA_vp1"}
+
+
+def test_parallel_extractor_propagates_worker_error(tmp_path):
+    """A missing view in one task must fail the extraction (not hang or
+    silently skip) while other tasks still write."""
+    from navillm_tpu.vision.extract import ParallelFeatureExtractor
+
+    cfg = ViTConfig.tiny()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    imgroot = tmp_path / "views"
+    _write_views(imgroot, "scanA", "vp0")
+    scanvps = [("scanA", "vp0"), ("scanA", "MISSING")]
+    pe = ParallelFeatureExtractor(params, cfg, batch_size=4, num_workers=1)
+    with pytest.raises(FileNotFoundError):
+        pe.extract_to_hdf5(tmp_path / "err.hdf5",
+                           DirectoryImageSource(imgroot), scanvps,
+                           num_views=4, progress=False)

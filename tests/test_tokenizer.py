@@ -50,3 +50,54 @@ def test_logit_mask_covers_alignment_rows():
     assert m[tok.cand_id] and m[tok.cls_ids[1]]
     assert m[tok.true_vocab_size:].all()
     assert not m[tok.eos_id]
+
+
+# ---------------- hermetic subword BPE backend ----------------
+
+def test_bpe_tokenizer_basics():
+    """The vendored BPE (models/bpe_nav.json) honors the reference
+    tokenizer contract (modified_lm.py:56-87): schema specials parsed
+    inline and never split, left pad/trunc, subword granularity."""
+    from navillm_tpu.models.tokenization import NavTokenizer
+    tok = NavTokenizer.bpe()
+    text = "Walk past the sofa. (0) stop (1) <cand> (2) <cand> <cls_1>"
+    ids = tok.encode(text)
+    arr = np.array(ids)
+    assert (arr == tok.cand_id).sum() == 2
+    assert (arr == tok.cls_ids[0]).sum() == 1
+    # subword: far fewer tokens than characters
+    assert len(ids) < len(text) * 0.6
+    # roundtrip preserves the English text
+    dec = tok.decode(ids, skip_special_tokens=True)
+    assert "Walk past the sofa" in dec
+
+
+def test_bpe_vs_byte_prompt_compression():
+    """BPE prompts must be substantially shorter than byte prompts —
+    the whole point of the subword default (VERDICT r2 #2)."""
+    from navillm_tpu.agents import prompts as P
+    from navillm_tpu.models.tokenization import NavTokenizer
+    prompt = P.navigation_prompt(
+        "r2r", "Turn left at the kitchen and walk to the bedroom door.",
+        6, 5, "<cls_1>")
+    n_byte = len(NavTokenizer().encode(prompt))
+    n_bpe = len(NavTokenizer.bpe().encode(prompt))
+    assert n_bpe * 3 < n_byte, (n_bpe, n_byte)
+
+
+def test_bpe_batch_contract():
+    """Left padding, bucketing, and pair token_type_ids on the BPE
+    backend (same NavTokenizer semantics as the byte backend)."""
+    from navillm_tpu.models.tokenization import NavTokenizer
+    tok = NavTokenizer.bpe(pad_to_multiple=16)
+    batch = tok(["short one", ("a question here", " an answer")])
+    assert batch.input_ids.shape[1] % 16 == 0
+    # left padded
+    assert batch.input_ids[0, 0] == tok.pad_id
+    assert not batch.attention_mask[0, 0]
+    assert batch.attention_mask[0, -1]
+    # answer tokens marked 1
+    assert batch.token_type_ids[1].max() == 1
+    assert batch.token_type_ids[0].max() == 0
+    # vocab MXU-aligned
+    assert tok.vocab_size % 128 == 0
