@@ -175,10 +175,10 @@ def _rollout_world(args, cfg, n_slots):
         else tok.vocab_size
     cfg = NM.NavModelConfig(
         llm=dc.replace(cfg.llm, vocab_size=vocab), pano=cfg.pano)
-    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
-    if _use_quant(args):
-        from navillm_tpu.models.quant import quantize_nav_params
-        params = quantize_nav_params(params)
+    # quantized init is incremental: the dense 7B tree never exists in
+    # full (init-then-quantize peaks ~20 GB and OOMs the 16 GB chip)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg,
+                                quantize_llm=_use_quant(args))
     # max_prefix: byte prompts cache <=~300 prefix tokens, BPE <=~130;
     # right-sizing the per-stream KV cache is what lets 7B int8 +
     # prefix cache fit 16 GB
@@ -230,9 +230,14 @@ def _rollout_world(args, cfg, n_slots):
 
 def bench_rollout(args):
     """Greedy eval rollouts end-to-end on a synthetic grid world."""
-    # 32 slots/stream measured ~4% over 16 on the real chip (B=32 fills
-    # the MXU a little better at T=256); 64 in-flight episodes total
-    n_slots = args.batch or 32
+    # proxy: 32 slots/stream measured ~4% over 16 on the real chip
+    # (B=32 fills the MXU a little better at T=256); 64 in-flight
+    # episodes total. 7B: 12/stream — the prefix KV cache is ~200 MB
+    # per slot (32 layers x 32 MHA kv-heads), so 2x12 slots + int8
+    # weights is what fits the 12 GB prefix_cache_enabled budget, and
+    # throughput at compute-bound 7B scales with tokens-per-step, not
+    # slot count
+    n_slots = args.batch or (12 if args.model == "7b" else 32)
     cfg, runner, agent, ds, targs, tcfg, Dataloader = \
         _rollout_world(args, _model(args.debug, args.model), n_slots)
     targs.prefix_cache = args.prefix_cache
@@ -335,10 +340,11 @@ def bench_decode(args):
     from navillm_tpu.models.decoding import generate
 
     cfg = _model(args.debug, args.model).llm
-    params = L.init_params(jax.random.PRNGKey(0), cfg)
     if _use_quant(args):
-        from navillm_tpu.models.quant import quantize_llama_params
-        params = quantize_llama_params(params)
+        from navillm_tpu.models.quant import init_params_quantized
+        params = init_params_quantized(jax.random.PRNGKey(0), cfg)
+    else:
+        params = L.init_params(jax.random.PRNGKey(0), cfg)
     b = args.batch or (2 if args.debug else 4)
     prompt = args.seq or (32 if args.debug else 256)
     new = 8 if args.debug else 50

@@ -68,36 +68,55 @@ class LlamaConfig:
         return cls(vocab_size=vocab_size, **kw)
 
 
+def weight_spec(cfg: LlamaConfig) -> Dict[str, Any]:
+    """Shapes + init scales of every DENSE weight (None scale =
+    default fan-in). Shared by init_params and the incremental
+    quantized init (models/quant.py), so there is one source of truth
+    for the parameter tree."""
+    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    nh, nkv, d, L = (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
+                     cfg.num_layers)
+    return {
+        "embed": ((v, h), 0.02),
+        "layers": {
+            "wq": ((L, h, nh * d), None),
+            "wk": ((L, h, nkv * d), None),
+            "wv": ((L, h, nkv * d), None),
+            "wo": ((L, nh * d, h), None),
+            "w_gate": ((L, h, i), None),
+            "w_up": ((L, h, i), None),
+            "w_down": ((L, i, h), None),
+        },
+        "lm_head": ((h, v), None),
+    }
+
+
+def init_dense(rng: jax.Array, cfg: LlamaConfig, shape, scale=None):
+    scale = scale if scale is not None else shape[-2] ** -0.5
+    # sample directly in the target dtype: an fp32 intermediate for a
+    # 7B [L, h, i] stack is a ~6 GB transient that OOMs a 16 GB chip
+    # during init (values are fp32-sampled internally, then rounded)
+    return jax.random.normal(rng, shape, cfg.dtype) * jnp.asarray(
+        scale, cfg.dtype)
+
+
 def init_params(rng: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
     """Random-normal init (weights are normally loaded from a converted
     Vicuna checkpoint; this init backs tests and from-scratch runs)."""
-    h, i, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
-    nh, nkv, d, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
-    keys = jax.random.split(rng, 9)
+    h, L = cfg.hidden_size, cfg.num_layers
+    spec = weight_spec(cfg)
+    keys = jax.random.split(rng, 9)   # same key->weight map as always
 
-    def dense(key, shape, scale=None):
-        scale = scale if scale is not None else shape[-2] ** -0.5
-        # sample directly in the target dtype: an fp32 intermediate for a
-        # 7B [L, h, i] stack is a ~6 GB transient that OOMs a 16 GB chip
-        # during init (values are fp32-sampled internally, then rounded)
-        return jax.random.normal(key, shape, cfg.dtype) * jnp.asarray(
-            scale, cfg.dtype)
-
+    layers = {k: init_dense(keys[j + 1], cfg, *spec["layers"][k])
+              for j, k in enumerate(
+                  ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"))}
+    layers["attn_norm"] = jnp.ones((L, h), cfg.dtype)
+    layers["mlp_norm"] = jnp.ones((L, h), cfg.dtype)
     return {
-        "embed": dense(keys[0], (v, h), scale=0.02),
-        "layers": {
-            "attn_norm": jnp.ones((L, h), cfg.dtype),
-            "wq": dense(keys[1], (L, h, nh * d)),
-            "wk": dense(keys[2], (L, h, nkv * d)),
-            "wv": dense(keys[3], (L, h, nkv * d)),
-            "wo": dense(keys[4], (L, nh * d, h)),
-            "mlp_norm": jnp.ones((L, h), cfg.dtype),
-            "w_gate": dense(keys[5], (L, h, i)),
-            "w_up": dense(keys[6], (L, h, i)),
-            "w_down": dense(keys[7], (L, i, h)),
-        },
+        "embed": init_dense(keys[0], cfg, *spec["embed"]),
+        "layers": layers,
         "final_norm": jnp.ones((h,), cfg.dtype),
-        "lm_head": dense(keys[8], (h, v)),
+        "lm_head": init_dense(keys[8], cfg, *spec["lm_head"]),
     }
 
 

@@ -14,6 +14,7 @@ Mode dispatch mirrors the reference forward():
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -46,7 +47,12 @@ class NavModelConfig:
                                         use_obj=use_obj))
 
 
-def init_nav_params(rng: jax.Array, cfg: NavModelConfig) -> Dict[str, Any]:
+def init_nav_params(rng: jax.Array, cfg: NavModelConfig,
+                    quantize_llm: bool = False) -> Dict[str, Any]:
+    """quantize_llm=True builds the LLM subtree int8-quantized
+    incrementally (models/quant.py:init_params_quantized) — same RNG
+    stream, but the dense bf16 tree never exists in full (a 7B dense
+    init + post-hoc quantize peaks ~20 GB and OOMs a 16 GB chip)."""
     h = cfg.hidden_size
     dt = cfg.llm.dtype
     k = iter(jax.random.split(rng, 10))
@@ -57,8 +63,13 @@ def init_nav_params(rng: jax.Array, cfg: NavModelConfig) -> Dict[str, Any]:
         return {"w": w, "b": jnp.zeros((d_out,), dt),
                 "ln_s": jnp.ones((d_out,), dt), "ln_b": jnp.zeros((d_out,), dt)}
 
+    if quantize_llm:
+        from .quant import init_params_quantized
+        _init_llm = functools.partial(init_params_quantized, cfg=cfg.llm)
+    else:
+        _init_llm = functools.partial(L.init_params, cfg=cfg.llm)
     params = {
-        "llm": L.init_params(next(k), cfg.llm),
+        "llm": _init_llm(next(k)),
         "pano": init_pano_params(next(k), cfg.pano),
         "token_type_emb": (jax.random.normal(next(k), (cfg.type_vocab_size, h),
                                              jnp.float32) * 0.02).astype(dt),

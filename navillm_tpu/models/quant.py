@@ -74,8 +74,50 @@ def _quantize_llama_impl(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 # donate the bf16 tree: the converted-out weights free as soon as each
-# layer is quantized, so peak HBM stays ~weights + one fp32 layer
+# layer is quantized, so peak HBM stays ~weights + one fp32 layer.
+# NOTE: peak is still (full bf16 tree + growing int8 tree) if XLA keeps
+# every donated input live to the end — at 7B that is ~20 GB and OOMs a
+# 16 GB chip. For trees that do not comfortably fit twice, use
+# init_params_quantized (random init) or quantize tensors one at a time
+# during checkpoint conversion.
 quantize_llama_params = jax.jit(_quantize_llama_impl, donate_argnums=0)
+
+_quant_weight_jit = jax.jit(_quant_weight, donate_argnums=0)
+_quant_embed_jit = jax.jit(_quant_embed, donate_argnums=0)
+
+
+def init_params_quantized(rng: jax.Array, cfg) -> Dict[str, Any]:
+    """Random-init an ALREADY-quantized Llama tree, one weight at a
+    time: each bf16 weight is sampled, quantized by a donated jit, and
+    dropped before the next is created. Peak HBM ≈ int8 tree (~6.8 GB
+    at 7B) + the largest single bf16 stack (~2.9 GB) — vs ~20 GB for
+    init_params + quantize_llama_params. This is what lets the 7B
+    int8 benches run on a 16 GB chip at all."""
+    from . import llama as L
+
+    h, Ln = cfg.hidden_size, cfg.num_layers
+    spec = L.weight_spec(cfg)
+    keys = jax.random.split(rng, 9)   # identical key->weight map to
+    # init_params, so the quantized tree is the quantization OF the
+    # dense init_params(rng) tree (grid-level identical)
+    layer_keys = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+    def make(key, entry, quantizer):
+        w = L.init_dense(key, cfg, *entry)
+        q = quantizer(w)
+        del w
+        return q
+
+    layers = {k: make(keys[j + 1], spec["layers"][k], _quant_weight_jit)
+              for j, k in enumerate(layer_keys)}
+    layers["attn_norm"] = jnp.ones((Ln, h), cfg.dtype)
+    layers["mlp_norm"] = jnp.ones((Ln, h), cfg.dtype)
+    return {
+        "embed": make(keys[0], spec["embed"], _quant_embed_jit),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), cfg.dtype),
+        "lm_head": make(keys[8], spec["lm_head"], _quant_weight_jit),
+    }
 
 
 def quantize_nav_params(params: Dict[str, Any]) -> Dict[str, Any]:

@@ -197,3 +197,42 @@ def test_trajectory_agreement_synthetic_world(train_args, task_config,
     assert preds_f.keys() == preds_q.keys()
     same = sum(preds_f[k] == preds_q[k] for k in preds_f)
     assert same >= 0.9 * len(preds_f), (same, len(preds_f))
+
+
+def test_init_params_quantized_matches_post_hoc(tiny_model):
+    """Incremental quantized init == quantize(init_params) on the same
+    RNG stream — the 7B memory-safe path is the same math as the
+    small-model path. Different XLA fusions may flip round() at bin
+    boundaries, so q is allowed to differ by <=1 grid step on a tiny
+    fraction of entries; scales must match exactly."""
+    cfg, params = tiny_model
+    q_inc = Q.init_params_quantized(jax.random.PRNGKey(0), cfg)
+    q_ref = Q._quantize_llama_impl(L.init_params(jax.random.PRNGKey(0),
+                                                 cfg))
+
+    def cmp(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            assert d.max() <= 1, d.max()
+            assert (d == 0).mean() > 0.95
+        else:
+            # reduction order differs between fusions -> last-ulp
+            # amax/scale wobble
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=0)
+
+    jax.tree.map(cmp, q_inc, q_ref)
+
+
+def test_init_nav_params_quantize_llm_flag():
+    cfg = NM.NavModelConfig.tiny(vocab_size=384)
+    qp = NM.init_nav_params(jax.random.PRNGKey(5), cfg, quantize_llm=True)
+    dp = NM.init_nav_params(jax.random.PRNGKey(5), cfg)
+    assert Q.is_quantized(qp)
+    # non-LLM subtrees share the same RNG stream -> identical
+    np.testing.assert_array_equal(np.asarray(qp["out_head"]["w"]),
+                                  np.asarray(dp["out_head"]["w"]))
+    # and the quantized LLM is the quantization of the dense one
+    q_ref = Q._quantize_llama_impl(dp["llm"])
+    np.testing.assert_array_equal(np.asarray(qp["llm"]["lm_head"]["q"]),
+                                  np.asarray(q_ref["lm_head"]["q"]))
