@@ -192,12 +192,21 @@ def _rollout_world(args, cfg, n_slots):
     make_grid_connectivity(root / "connectivity", scan="bench0", rows=8,
                            cols=8)
     rng = np.random.RandomState(0)
+    # realistic instruction lengths: R2R averages ~29 words
+    # (reference README"s task stats); 3-token stubs would understate
+    # prompt length AND overstate the uncached path (the cacheable
+    # instruction prefix would be ~0 of the prompt)
+    import random as _random
+    sys.path.insert(0, str(Path(__file__).parent / "scripts" / "data_tools"))
+    from train_bpe import _instruction
+    _irand = _random.Random(0)
     items = []
     for pid in range(max(32, 4 * n_slots)):   # 4x slots so refill engages
         r0, c0 = rng.randint(0, 8, 2)
         r1, c1 = rng.randint(0, 8, 2)
+        instr = _instruction(_irand)   # 1-5 sentences, ~30 words avg
         items.append({"distance": 1.0, "scan": "bench0", "path_id": pid,
-                      "heading": 0.0, "instructions": [f"route {pid}"],
+                      "heading": 0.0, "instructions": [instr],
                       "path": None, "start": (r0, c0), "end": (r1, c1)})
     d = root / "R2R" / "annotations"
     d.mkdir(parents=True)
@@ -277,11 +286,15 @@ def bench_train_e2e(args):
     from navillm_tpu.training.optim import make_optimizer
     from navillm_tpu.utils.config import ConfigDict
 
-    b = args.batch or 8
+    # sweep (r3, BPE prompts): b=8 -> 2.7x, b=16 -> 3.2x, b=24 -> 3.5x;
+    # rows=96 regressed (memory pressure) so chunks stay at 48
+    b = args.batch or 24
     cfg, runner, agent, ds, targs, tcfg, Dataloader = \
         _rollout_world(args, _model(args.debug, args.model), b)
     targs.fused_teacher = True
     targs.gradient_accumulation_step = 2
+    if args.rows:
+        targs.fused_rows_per_call = args.rows
     ds.training = True
 
     from navillm_tpu.training.train_loop import make_opt_step
@@ -459,6 +472,8 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--seq", type=int, default=None)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--rows", type=int, default=None,
+                    help="train_e2e: fused_rows_per_call override")
     ap.add_argument("--timing", action="store_true",
                     help="print per-stage timer breakdown to stderr")
     ap.add_argument("--prefix_cache", action="store_true",
