@@ -98,25 +98,35 @@ def convert_hf_llama(hf_model, cfg: LlamaConfig) -> Dict[str, Any]:
 
 
 def load_vicuna(pretrained_model_name_or_path: str, vocab_size: int,
-                dtype=None) -> tuple:
+                dtype=None, quantize: bool = False) -> tuple:
     """Load a local Vicuna/Llama checkpoint -> (LlamaConfig, params).
 
     Prefers the streaming safetensors path (no torch model
     instantiation, peak host RAM ~ one shard — required for 7B on
     small hosts); falls back to from_pretrained for .bin checkpoints.
+
+    quantize=True additionally converts the tree to int8 weight-only
+    storage ON HOST (models/quant.py:quantize_host_llama) so only the
+    ~6.8 GB int8 tree is uploaded — the eval deployment path for 7B on
+    16 GB chips.
     """
     import os
     import jax.numpy as jnp
     p = pretrained_model_name_or_path
     if os.path.isdir(p) and any(f.endswith(".safetensors")
                                 for f in os.listdir(p)):
-        return load_vicuna_streaming(p, vocab_size, dtype=dtype)
-    import torch
-    from transformers import LlamaForCausalLM
-    hf = LlamaForCausalLM.from_pretrained(p, torch_dtype=torch.float32)
-    cfg = config_from_hf(hf.config, vocab_size=vocab_size,
-                         dtype=dtype or jnp.bfloat16)
-    return cfg, convert_hf_llama(hf, cfg)
+        cfg, params = load_vicuna_streaming(p, vocab_size, dtype=dtype)
+    else:
+        import torch
+        from transformers import LlamaForCausalLM
+        hf = LlamaForCausalLM.from_pretrained(p, torch_dtype=torch.float32)
+        cfg = config_from_hf(hf.config, vocab_size=vocab_size,
+                             dtype=dtype or jnp.bfloat16)
+        params = convert_hf_llama(hf, cfg)
+    if quantize:
+        from .quant import quantize_host_llama
+        params = quantize_host_llama(params)
+    return cfg, params
 
 
 # tensor-name -> (stack key, transpose) for per-layer weights

@@ -120,6 +120,46 @@ def init_params_quantized(rng: jax.Array, cfg) -> Dict[str, Any]:
     }
 
 
+def quantize_host_llama(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize a HOST (numpy) Llama tree in place — the post-
+    checkpoint-conversion path: load_vicuna_streaming returns numpy
+    bf16 leaves (models/convert.py:136), quantizing them on host means
+    only the ~6.8 GB int8 tree is ever uploaded to the chip. Consumes
+    the input dict destructively (each bf16 array is dropped as soon
+    as its int8 replacement exists) so host peak stays ~ tree + one
+    weight."""
+    import numpy as np
+
+    def q2d(w2d, axis):
+        w32 = np.asarray(w2d, np.float32)
+        amax = np.max(np.abs(w32), axis=axis, keepdims=True)
+        s = (np.maximum(amax, 1e-8) / 127.0).astype(w2d.dtype)
+        q = np.clip(np.round(w32 / s.astype(np.float32)),
+                    -127, 127).astype(np.int8)
+        return q, s
+
+    def qw(w, axis):
+        if w.ndim == 3:   # layer-stacked: bound the fp32 copy to 1 layer
+            q = np.empty(w.shape, np.int8)
+            s = np.empty((w.shape[0], 1, w.shape[2]), w.dtype)
+            for l in range(w.shape[0]):
+                q[l], s[l] = q2d(w[l], axis=0)
+            return {"q": q, "s": s}
+        q, s = q2d(w, axis=axis)
+        return {"q": q, "s": s}
+
+    layers = params["layers"]
+    for k in _QUANT_KEYS:
+        w = layers.pop(k)
+        layers[k] = qw(w, axis=-2)
+        del w
+    for k, axis in (("embed", -1), ("lm_head", -2)):
+        w = params.pop(k)
+        params[k] = qw(w, axis=axis)
+        del w
+    return params
+
+
 def quantize_nav_params(params: Dict[str, Any]) -> Dict[str, Any]:
     """Quantize only the LLM subtree of a NavModel param tree; the
     panorama encoder / heads (<1% of params) stay in bf16."""

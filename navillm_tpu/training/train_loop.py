@@ -77,6 +77,10 @@ def build_runner(args, cfg, logger=None, mesh_plan=None) -> NavModelRunner:
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    quantize = getattr(args, "quantize_llm", False)
+    if quantize and args.mode != "test":
+        raise ValueError("--quantize_llm is eval-only: int8 weights are "
+                         "not differentiable (models/quant.py)")
     if args.pretrained_model_name_or_path:
         tok = NavTokenizer.from_pretrained(args.pretrained_model_name_or_path)
         if args.from_scratch or args.resume_from_checkpoint:
@@ -92,7 +96,7 @@ def build_runner(args, cfg, logger=None, mesh_plan=None) -> NavModelRunner:
             from ..models.convert import load_vicuna
             llm_cfg, llm_params = load_vicuna(
                 args.pretrained_model_name_or_path, tok.vocab_size,
-                dtype=dtype)
+                dtype=dtype, quantize=quantize)
     else:
         tok = NavTokenizer()
         llm_cfg = L.LlamaConfig.tiny(vocab_size=tok.vocab_size)

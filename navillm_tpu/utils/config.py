@@ -128,6 +128,11 @@ class TrainArgs:
     # bench the candidates suffix is ~70% of tokens and the measured
     # A/B was neutral (12.9 vs 13.2 eps/s) — see docs/PERFORMANCE.md.
     prefix_cache: bool = False
+    # int8 weight-only LLM storage for EVAL runs (models/quant.py):
+    # loads the checkpoint host-side, quantizes per output channel, and
+    # uploads only the ~6.8 GB int8 tree — the 7B-on-16GB deployment
+    # path. Rejected for training modes (int8 is not differentiable).
+    quantize_llm: bool = False
     # fused whole-trajectory teacher-forcing training (one LLM call per
     # trajectory instead of per step; same gradients — SURVEY.md §7.1)
     fused_teacher: bool = True

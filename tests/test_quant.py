@@ -224,6 +224,53 @@ def test_init_params_quantized_matches_post_hoc(tiny_model):
     jax.tree.map(cmp, q_inc, q_ref)
 
 
+def test_quantize_host_llama_matches_device(tiny_model):
+    """Host (numpy, checkpoint-conversion) quantization ==
+    device (jit) quantization — the quantize-during-load path used by
+    models/convert.py:load_vicuna(quantize=True) for real 7B
+    checkpoints produces the same int8 grid as the post-hoc path, so
+    all parity/trajectory tests above transfer to it. Same <=1-grid-
+    step / exact-scale tolerance as the incremental-init test (round()
+    at bin boundaries can flip between XLA fusions and numpy)."""
+    import ml_dtypes
+    cfg, params = tiny_model
+    # host copy in bf16-numpy, exactly what load_vicuna_streaming
+    # hands over (models/convert.py:136)
+    host = jax.tree.map(
+        lambda a: np.asarray(a).astype(ml_dtypes.bfloat16), params)
+    q_host = Q.quantize_host_llama(host)
+    q_dev = Q._quantize_llama_impl(
+        jax.tree.map(lambda a: jnp.asarray(np.asarray(a),
+                                           jnp.bfloat16), params))
+
+    def cmp(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype and a.shape == b.shape
+        if a.dtype == np.int8:
+            d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+            assert d.max() <= 1, d.max()
+            assert (d == 0).mean() > 0.95
+        else:
+            np.testing.assert_allclose(a.astype(np.float32),
+                                       b.astype(np.float32),
+                                       rtol=1e-2, atol=0)
+
+    jax.tree.map(cmp, q_host, q_dev)
+    # destructive contract: the bf16 weights were dropped from `host`
+    assert isinstance(host["lm_head"], dict)
+
+
+def test_quantize_llm_rejected_for_training(train_args):
+    """--quantize_llm is eval-only; build_runner must refuse it in
+    train mode (int8 leaves are not differentiable)."""
+    from navillm_tpu.training import train_loop as TL
+    args = train_args
+    args.quantize_llm = True
+    args.mode = "train"
+    with pytest.raises(ValueError, match="eval-only"):
+        TL.build_runner(args, cfg=None)
+
+
 def test_init_nav_params_quantize_llm_flag():
     cfg = NM.NavModelConfig.tiny(vocab_size=384)
     qp = NM.init_nav_params(jax.random.PRNGKey(5), cfg, quantize_llm=True)
