@@ -92,7 +92,9 @@ class NavModelRunner:
         self.device_memory = device_memory
         if mesh_plan is not None:
             from ..parallel.mesh import nav_param_specs, shard_params
-            params = shard_params(params, nav_param_specs(cfg), mesh_plan)
+            quantized = isinstance(params["llm"].get("lm_head"), dict)
+            params = shard_params(params, nav_param_specs(
+                cfg, quantized=quantized), mesh_plan)
         self.params = params
         self._build_fns()
 

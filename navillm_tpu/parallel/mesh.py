@@ -76,9 +76,14 @@ def shard_params(params: Dict[str, Any], specs: Dict[str, Any],
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def nav_param_specs(nav_cfg) -> Dict[str, Any]:
+def nav_param_specs(nav_cfg, quantized: bool = False) -> Dict[str, Any]:
     """PartitionSpecs for the full NavModel param tree: LLM sharded per
     llama.partition_specs, pano encoder + heads replicated (they are
-    <1% of the params; replication avoids tiny-matmul collectives)."""
+    <1% of the params; replication avoids tiny-matmul collectives).
+
+    quantized=True mirrors the int8 {"q","s"} structure so TP still
+    splits the int8 tensors over the model axis — without it the spec
+    lookup misses and the whole quantized LLM replicates, forfeiting
+    the TP memory win (models/quant.py)."""
     from ..models import llama as L
-    return {"llm": L.partition_specs(nav_cfg.llm)}
+    return {"llm": L.partition_specs(nav_cfg.llm, quantized=quantized)}
