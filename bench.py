@@ -57,7 +57,7 @@ def _scale_tag(args) -> str:
         return "debug-tiny"
     base = "Vicuna-7B dims" if args.model == "7b" else "1.3B proxy"
     if _use_quant(args):
-        base += " int8"
+        base += " int8-w8a8" if _use_a8(args) else " int8"
     return base
 
 
@@ -70,14 +70,26 @@ def _use_quant(args) -> bool:
     return args.model == "7b" and args.mode in ("rollout", "decode")
 
 
-def _model(debug: bool, size: str = "proxy"):
+def _use_a8(args) -> bool:
+    """--a8: W8A8 (dynamic per-token int8 activations on top of int8
+    weights) so matmuls run int8xint8 natively on the MXU
+    (models/llama.py:_mm). Only meaningful with quantized weights."""
+    return bool(getattr(args, "a8", False)) and _use_quant(args)
+
+
+def _model(debug: bool, size: str = "proxy", a8: bool = False):
+    import dataclasses
     import jax.numpy as jnp
     from navillm_tpu.models import llama as L
     from navillm_tpu.models import nav_model as NM
     from navillm_tpu.models.pano_encoder import PanoConfig
 
     if debug:
-        return NM.NavModelConfig.tiny(vocab_size=384)
+        cfg = NM.NavModelConfig.tiny(vocab_size=384)
+        if a8:
+            cfg = dataclasses.replace(
+                cfg, llm=dataclasses.replace(cfg.llm, act_int8=True))
+        return cfg
     if size == "7b":
         # the TRUE reference scale: Vicuna-7B dims (reference
         # models/nav_model.py:46-47), bf16 eval-only (~13.5 GB)
@@ -88,6 +100,8 @@ def _model(debug: bool, size: str = "proxy"):
                             intermediate_size=5504, num_layers=16,
                             num_heads=16, num_kv_heads=16,
                             max_seq_len=1024, dtype=jnp.bfloat16)
+    if a8:
+        llm = dataclasses.replace(llm, act_int8=True)
     return NM.NavModelConfig(
         llm=llm, pano=PanoConfig(output_size=llm.hidden_size,
                                  dtype=jnp.bfloat16))
@@ -101,7 +115,7 @@ def bench_train_step(args):
     from navillm_tpu.testing import synthetic_nav_batch
     from navillm_tpu.training.optim import make_optimizer
 
-    cfg = _model(args.debug, args.model)
+    cfg = _model(args.debug, args.model, _use_a8(args))
     batch_size = args.batch or (2 if args.debug else 8)
     seq = args.seq or (64 if args.debug else 320)
     iters = min(args.iters, 5) if args.debug else args.iters
@@ -248,7 +262,7 @@ def bench_rollout(args):
     # slot count
     n_slots = args.batch or (12 if args.model == "7b" else 32)
     cfg, runner, agent, ds, targs, tcfg, Dataloader = \
-        _rollout_world(args, _model(args.debug, args.model), n_slots)
+        _rollout_world(args, _model(args.debug, args.model, _use_a8(args)), n_slots)
     targs.prefix_cache = args.prefix_cache
 
     # warmup (compile) with one untimed streaming pass: compiles the
@@ -290,7 +304,7 @@ def bench_train_e2e(args):
     # rows=96 regressed (memory pressure) so chunks stay at 48
     b = args.batch or 24
     cfg, runner, agent, ds, targs, tcfg, Dataloader = \
-        _rollout_world(args, _model(args.debug, args.model), b)
+        _rollout_world(args, _model(args.debug, args.model, _use_a8(args)), b)
     targs.fused_teacher = True
     targs.gradient_accumulation_step = 2
     if args.rows:
@@ -352,7 +366,7 @@ def bench_decode(args):
     from navillm_tpu.models import llama as L
     from navillm_tpu.models.decoding import generate
 
-    cfg = _model(args.debug, args.model).llm
+    cfg = _model(args.debug, args.model, _use_a8(args)).llm
     if _use_quant(args):
         from navillm_tpu.models.quant import init_params_quantized
         params = init_params_quantized(jax.random.PRNGKey(0), cfg)
@@ -482,6 +496,9 @@ def main():
     ap.add_argument("--tokenizer", default="bpe", choices=["bpe", "byte"],
                     help="bpe: hermetic subword (realistic prompt "
                          "lengths, default); byte: legacy byte fallback")
+    ap.add_argument("--a8", action="store_true",
+                    help="W8A8: int8 activations on top of --quant so "
+                         "matmuls run int8xint8 on the MXU (eval only)")
     ap.add_argument("--quant", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="weight-only int8 LLM (default: on for 7B "

@@ -75,7 +75,7 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
                                                inject_embeds)
         hidden, prompt_kv = L.forward_hidden(params, cfg, inputs_embeds,
                                              attention_mask, return_kv=True)
-        last_logits = L._mm(hidden[:, -1], params["lm_head"]).astype(jnp.float32)
+        last_logits = L._mm(hidden[:, -1], params["lm_head"], cfg.act_int8).astype(jnp.float32)
         trie_state0 = jnp.zeros((b,), jnp.int32)
         rng_, krng = jax.random.split(rng)
         tok0 = pick_token(last_logits, trie_state0, krng, temperature, vocab)
@@ -99,7 +99,7 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
             hidden, dec_cache = L.decode_step(
                 params, cfg, emb, prompt_kv, attention_mask, dec_cache,
                 i, pos)
-            logits = L._mm(hidden[:, -1], params["lm_head"]).astype(jnp.float32)
+            logits = L._mm(hidden[:, -1], params["lm_head"], cfg.act_int8).astype(jnp.float32)
             new_trie_state = trie.advance(trie_state, tok) \
                 if trie is not None else trie_state
             nxt = pick_token(logits, new_trie_state, step_rng, temperature,
@@ -128,7 +128,7 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
         pos = (prompt_lens + i)[:, None]                    # fed position
         hidden, dec_cache = L.decode_step(params, cfg, emb, prompt_kv,
                                           attention_mask, dec_cache, i, pos)
-        logits = L._mm(hidden[:, -1], params["lm_head"]).astype(jnp.float32)
+        logits = L._mm(hidden[:, -1], params["lm_head"], cfg.act_int8).astype(jnp.float32)
         new_trie_state = trie.advance(trie_state, tok) if trie is not None \
             else trie_state
         nxt = pick_token(logits, new_trie_state, step_rng, temperature,

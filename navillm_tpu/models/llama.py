@@ -44,6 +44,12 @@ class LlamaConfig:
     dtype: Any = jnp.bfloat16
     remat: bool = True
     attn_impl: str = "auto"   # auto | flash | xla
+    # W8A8: dynamically quantize activations per token to int8 so the
+    # matmuls against int8 weights run int8xint8->int32 on the MXU
+    # (~1.5x measured over bf16 on v5e; see docs/PERFORMANCE.md).
+    # Requires quantized weights; eval-only, opt-in (per-token dynamic
+    # activation quantization is lossier than weight-only int8).
+    act_int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -166,14 +172,38 @@ def partition_specs(cfg: LlamaConfig, quantized: bool = False
     return out
 
 
-def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
+def _act_q(x: jnp.ndarray):
+    """Dynamic per-token (per output row) int8 activation quantization:
+    -> (xq int8, sx fp32 [..., 1]) with x ~= xq * sx. Under TP the
+    amax over the (possibly model-sharded) feature axis is a logical
+    reduction — GSPMD inserts the tiny all-reduce max."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def _mm(x: jnp.ndarray, w, a8: bool = False) -> jnp.ndarray:
     """Matmul against a dense weight OR an int8 weight-only quantized
     one (``{"q": int8 [..., h, o], "s": scale [..., 1, o]}``, per
     output channel — models/quant.py). Dequantization folds into the
     matmul: ``(x @ q) * s`` — XLA fuses the int8->bf16 convert into the
     MXU operand load, so no dequantized weight copy is materialized
-    and the HBM read per weight is 1 byte/param instead of 2."""
+    and the HBM read per weight is 1 byte/param instead of 2.
+
+    a8=True (cfg.act_int8) additionally quantizes the activations per
+    token so the product runs int8xint8->int32 natively on the MXU at
+    ~1.5x the bf16 rate (v5e runs int8 at 2x bf16 peak; the remainder
+    is the quantize/rescale VPU work). Output error is bounded by the
+    per-token scale: a 1/127 relative activation grid on top of the
+    1/127 weight grid."""
     if isinstance(w, dict):
+        if a8:
+            xq, sx = _act_q(x)
+            y = jnp.matmul(xq, w["q"], preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * sx
+                    * w["s"].astype(jnp.float32)).astype(x.dtype)
         return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
     return x @ w
 
@@ -218,18 +248,21 @@ def _qkv(cfg: LlamaConfig, x, lp, cos, sin):
     b, t, _ = x.shape
     nh, nkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     attn_in = rms_norm(x, lp["attn_norm"], cfg.rms_norm_eps)
-    q = _mm(attn_in, lp["wq"]).reshape(b, t, nh, d)
-    k = _mm(attn_in, lp["wk"]).reshape(b, t, nkv, d)
-    v = _mm(attn_in, lp["wv"]).reshape(b, t, nkv, d)
+    a8 = cfg.act_int8
+    q = _mm(attn_in, lp["wq"], a8).reshape(b, t, nh, d)
+    k = _mm(attn_in, lp["wk"], a8).reshape(b, t, nkv, d)
+    v = _mm(attn_in, lp["wv"], a8).reshape(b, t, nkv, d)
     return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
 
 
 def _post_attn(cfg: LlamaConfig, x, lp, attn):
     b, t, _ = x.shape
-    x = x + _mm(attn.reshape(b, t, cfg.num_heads * cfg.head_dim), lp["wo"])
+    a8 = cfg.act_int8
+    x = x + _mm(attn.reshape(b, t, cfg.num_heads * cfg.head_dim),
+                lp["wo"], a8)
     mlp_in = rms_norm(x, lp["mlp_norm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(_mm(mlp_in, lp["w_gate"]))
-    return x + _mm(gate * _mm(mlp_in, lp["w_up"]), lp["w_down"])
+    gate = jax.nn.silu(_mm(mlp_in, lp["w_gate"], a8))
+    return x + _mm(gate * _mm(mlp_in, lp["w_up"], a8), lp["w_down"], a8)
 
 
 def _layer(cfg: LlamaConfig, x, lp, cos, sin, kv_mask, attn_impl):
@@ -409,7 +442,7 @@ def logits_from_hidden(params, cfg: LlamaConfig, hidden,
                        special_token_mask=None):
     """LM logits in fp32 with special-token columns masked to -inf
     (reference modified_lm.py:122-124)."""
-    logits = _mm(hidden, params["lm_head"]).astype(jnp.float32)
+    logits = _mm(hidden, params["lm_head"], cfg.act_int8).astype(jnp.float32)
     if special_token_mask is not None:
         logits = jnp.where(special_token_mask[None, None, :], NEG_INF, logits)
     return logits

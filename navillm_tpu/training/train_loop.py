@@ -81,6 +81,11 @@ def build_runner(args, cfg, logger=None, mesh_plan=None) -> NavModelRunner:
     if quantize and args.mode != "test":
         raise ValueError("--quantize_llm is eval-only: int8 weights are "
                          "not differentiable (models/quant.py)")
+    act_int8 = getattr(args, "act_int8", False)
+    if act_int8 and not quantize:
+        raise ValueError("--act_int8 needs --quantize_llm: the int8x"
+                         "int8 MXU path requires int8 weights "
+                         "(models/llama.py:_mm)")
     if args.pretrained_model_name_or_path:
         tok = NavTokenizer.from_pretrained(args.pretrained_model_name_or_path)
         if args.from_scratch or args.resume_from_checkpoint:
@@ -101,6 +106,9 @@ def build_runner(args, cfg, logger=None, mesh_plan=None) -> NavModelRunner:
         tok = NavTokenizer()
         llm_cfg = L.LlamaConfig.tiny(vocab_size=tok.vocab_size)
         llm_params = None
+    if act_int8:
+        import dataclasses
+        llm_cfg = dataclasses.replace(llm_cfg, act_int8=True)
 
     pano_cfg = PanoConfig(
         image_feat_size=args.image_feat_size,

@@ -133,6 +133,11 @@ class TrainArgs:
     # uploads only the ~6.8 GB int8 tree — the 7B-on-16GB deployment
     # path. Rejected for training modes (int8 is not differentiable).
     quantize_llm: bool = False
+    # W8A8 on top of --quantize_llm: dynamic per-token int8 activation
+    # quantization so matmuls run int8xint8 natively on the MXU (~1.5x
+    # bf16 compute rate on v5e). Slightly lossier than weight-only;
+    # opt-in for compute-bound eval (large-batch prefill).
+    act_int8: bool = False
     # fused whole-trajectory teacher-forcing training (one LLM call per
     # trajectory instead of per step; same gradients — SURVEY.md §7.1)
     fused_teacher: bool = True

@@ -224,6 +224,60 @@ def test_init_params_quantized_matches_post_hoc(tiny_model):
     jax.tree.map(cmp, q_inc, q_ref)
 
 
+def test_act_int8_mm_close_to_weight_only():
+    """W8A8 (`_mm(..., a8=True)`): int8xint8->int32 with per-token
+    activation scales stays within the combined-grid error bound of
+    the weight-only product."""
+    rng = np.random.RandomState(4)
+    w = jnp.asarray(rng.randn(64, 96).astype(np.float32))
+    qw = Q._quant_weight(w)
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    ref = x @ w
+    got = L._mm(x, qw, a8=True)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.03, rel
+    # dense weights ignore the flag (no activation grid applied)
+    np.testing.assert_array_equal(np.asarray(L._mm(x, w, a8=True)),
+                                  np.asarray(x @ w))
+
+
+def test_act_int8_full_model_logit_parity(tiny_model):
+    """Full forward with cfg.act_int8=True: logits stay close to the
+    bf16 reference and the top-1 token largely agrees — the accuracy
+    contract of the --act_int8 eval flag."""
+    import dataclasses
+    cfg, params = tiny_model
+    qparams = Q._quantize_llama_impl(params)
+    cfg8 = dataclasses.replace(cfg, act_int8=True)
+    rng = np.random.RandomState(5)
+    ids = jnp.asarray(rng.randint(3, 380, (2, 24)), jnp.int32)
+    mask = jnp.ones((2, 24), bool)
+
+    def logits(p, c):
+        emb = L.embed_with_injection(p, ids)
+        hidden, _ = L.forward_hidden(p, c, emb, mask)
+        return L.logits_from_hidden(p, c, hidden)
+
+    ref = logits(params, cfg)
+    got = logits(qparams, cfg8)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.1, rel
+    agree = float((got.argmax(-1) == ref.argmax(-1)).mean())
+    assert agree > 0.7, agree
+
+
+def test_act_int8_requires_quantized_weights(train_args):
+    """--act_int8 without --quantize_llm must be rejected: there are
+    no int8 weights for the int8xint8 product."""
+    from navillm_tpu.training import train_loop as TL
+    args = train_args
+    args.act_int8 = True
+    args.quantize_llm = False
+    args.mode = "test"
+    with pytest.raises(ValueError, match="act_int8"):
+        TL.build_runner(args, cfg=None)
+
+
 def test_quantize_host_llama_matches_device(tiny_model):
     """Host (numpy, checkpoint-conversion) quantization ==
     device (jit) quantization — the quantize-during-load path used by
