@@ -137,7 +137,7 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         pano_cat.update({"obj_img_fts": cat("obj_img_fts"),
                          "obj_loc_fts": cat("obj_loc_fts"),
                          "obj_lens": cat("obj_lens")})
-    # The T*B rows are processed in fixed-width CHUNKS: the whole-
+    # The live rows are processed in fixed-width CHUNKS: the whole-
     # trajectory grad call at T*B ~ 80 rows x 512 tokens plus AdamW
     # state is marginal on a 16 GB chip, and chunking also makes every
     # executable a stable [chunk, L] shape regardless of trajectory
@@ -146,17 +146,34 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     # Each chunk gets its OWN rng, used identically by the phase-2
     # panorama below and the phase-5 loss jit that recomputes it (so
     # pano values match and its params get gradients).
+    #
+    # ROW COMPACTION: a (t, i) row where episode i already ended
+    # contributes NOTHING — its target is ignoreid (zero loss, zero
+    # grads) and phase 3 skips its node updates — yet it used to pay a
+    # full panorama + LLM fwd/bwd. Variable episode lengths make this a
+    # 20-50% row reduction at zero numerical cost, so both the phase-2
+    # pano chunks and the phase-5 grad chunks run over live rows only
+    # (identical compact ordering keeps the per-chunk rng alignment).
     rows_total = T * B
+    row_live = np.concatenate([~s["ended"] for s in steps])   # [T*B]
+    live_idx = np.nonzero(row_live)[0]
+    n_live = len(live_idx)
+    # flat (t*B+i) -> compact position; -1 for dead rows
+    compact_of = np.full(rows_total, -1, np.int64)
+    compact_of[live_idx] = np.arange(n_live)
     chunk = int(getattr(args, "fused_rows_per_call", 0) or 0)
     if chunk <= 0:
-        chunk = rows_total
-    bounds = list(range(0, rows_total, chunk))
+        chunk = n_live
+    bounds = list(range(0, n_live, chunk))
 
     def chunk_idx(c0):
+        """Chunk row indices INTO THE COMPACT ordering, padded by
+        repeating the last live row."""
         idx = np.arange(c0, c0 + chunk)
-        n_real = min(chunk, rows_total - c0)
-        return np.minimum(idx, rows_total - 1), n_real
+        n_real = min(chunk, n_live - c0)
+        return np.minimum(idx, n_live - 1), n_real
 
+    pano_cat = {k: v[live_idx] for k, v in pano_cat.items()}
     pano_rngs = {}
     pe_parts, pm_parts = [], []
     with agent.timer.stage("pano_device"):
@@ -168,10 +185,19 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
                 deterministic=False, rng=pano_rngs[c0])
             pe_parts.append(out["pano_embeds"][:n_real])
             pm_parts.append(out["pano_masks"][:n_real])
-    pano_embeds_flat = np.concatenate(pe_parts, 0)
+    pe_live = np.concatenate(pe_parts, 0)
+    pm_live = np.concatenate(pm_parts, 0)
+    # scatter back to the [T, B] grid; dead rows are zeros with all-
+    # False masks (their values feed nothing: phase 3 skips ended rows,
+    # their fuse outputs are never read, their loss rows are dropped)
+    pano_embeds_flat = np.zeros((rows_total,) + pe_live.shape[1:],
+                                pe_live.dtype)
+    pano_embeds_flat[live_idx] = pe_live
+    pano_masks_flat = np.zeros((rows_total,) + pm_live.shape[1:], bool)
+    pano_masks_flat[live_idx] = pm_live
     pano_embeds_all = pano_embeds_flat.reshape(
         T, B, *pano_embeds_flat.shape[1:])
-    pano_masks_all = np.concatenate(pm_parts, 0).reshape(T, B, -1)
+    pano_masks_all = pano_masks_flat.reshape(T, B, -1)
 
     # ------------- phase 3: replay memory + assemble rows ----------------
     # rebuild node embeddings step by step from the batched pano outputs
@@ -270,12 +296,16 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
                 hist_store[i].append(fuse_all[st_idx, i, a])
 
     # ------------- phase 5: one navigation LLM loss+grad call ------------
+    # prompts/targets/hist rows are built for LIVE rows only (compact
+    # ordering, matching the phase-2 pano chunks and their rngs)
     prompts = []
     orders = []
     C = agent.dims.max_cands
     from .mp3d_agent import CLS_TOKEN_TEXT
     for st_idx, step in enumerate(steps):
         for i in range(B):
+            if step["ended"][i]:
+                continue
             slots = [k for k, vp in enumerate(step["gmap_vpids"][i])
                      if k > 0 and vp is not None
                      and not step["gmap_in"]["gmap_visited_masks"][i][k]]
@@ -290,17 +320,17 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
                 cls_token=CLS_TOKEN_TEXT))
     tok_batch, cand_pos, hist_pos, cls_pos = \
         agent.runner.tokenize_with_positions(prompts)
-    nav_batch = dict(fuse_batch)
+    nav_batch = {k: v[live_idx] for k, v in fuse_batch.items()}
     nav_batch.update({
         "cand_order": np.stack(orders),
         "cand_positions": cand_pos,
         "hist_positions": hist_pos,
-        "hist_embeds": hist_embeds_rows,
+        "hist_embeds": hist_embeds_rows[live_idx],
         "input_ids": tok_batch.input_ids,
         "attention_mask": tok_batch.attention_mask,
         "cls_pos": cls_pos,
     })
-    targets = np.concatenate([s["targets"] for s in steps], 0)
+    targets = np.concatenate([s["targets"] for s in steps], 0)[live_idx]
     coef = train_ml / B / args.gradient_accumulation_step
     del nav_batch["vp_img_embeds"]
     ml_loss = 0.0
@@ -310,7 +340,7 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         # the grad chain overlaps the NEXT batch's host trajectory phase
         for c0 in bounds:
             idx, n_real = chunk_idx(c0)
-            real = np.arange(c0, c0 + chunk) < rows_total
+            real = np.arange(c0, c0 + chunk) < n_live
             part_tgt = np.where(real, targets[idx], args.ignoreid) \
                 .astype(targets.dtype)
             _, _, _, _, loss_c = agent.runner.pano_navigation_train(

@@ -141,6 +141,11 @@ class TrainArgs:
     # fused whole-trajectory teacher-forcing training (one LLM call per
     # trajectory instead of per step; same gradients — SURVEY.md §7.1)
     fused_teacher: bool = True
+    # double-buffered DAgger (sample-feedback) training: split each
+    # batch into two interleaved streams so one stream's host work
+    # (env stepping, prompt assembly) hides under the other's device
+    # step; grads match the unsplit batch (mp3d_agent.rollout_interleaved)
+    dagger_pipeline: bool = True
     # fixed row-chunk width for the fused-teacher grad calls: bounds the
     # per-call activation footprint (a whole trajectory batch at
     # T*B ~ 80 rows x 512 tokens + AdamW state is marginal on 16 GB)

@@ -162,3 +162,44 @@ def test_device_memory_train_matches_host(train_args, task_config, data_dir,
                     jax.tree.leaves(out[False][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-5)
+
+def test_fused_row_compaction_skips_ended_rows(train_args, task_config,
+                                               data_dir, det_runner,
+                                               optim_cfg, monkeypatch):
+    """Rows of ended episodes are dropped from the pano + grad chunks
+    (they carry ignoreid targets and zero grads); the number of rows
+    fed to pano_navigation_train equals the live-row count, not T*B."""
+    args = train_args
+    args.image_feat_size = det_runner.cfg.pano.image_feat_size
+    args.obj_feat_size = det_runner.cfg.pano.obj_feat_size
+    args.fused_rows_per_call = 0     # one chunk: row count == n_live
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=True, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(
+        det_runner.cfg.pano.image_feat_size))
+    batch = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+    agent = load_agent("r2r", args, world, det_runner)
+    _identity_perm(agent)
+
+    rows_seen = []
+    orig = NavModelRunner.pano_navigation_train
+
+    def spy(self, pano_inputs, rng, b, targets, coef, need_outputs=True):
+        rows_seen.append(len(targets))
+        return orig(self, pano_inputs, rng, b, targets, coef, need_outputs)
+
+    monkeypatch.setattr(NavModelRunner, "pano_navigation_train", spy)
+    det_runner.zero_grads()
+    loss, traj = rollout_teacher_fused(
+        agent, args, "R2R", optim_cfg.Optim, batch, dataset=ds, train_ml=1.0)
+    det_runner.take_grads()
+    assert np.isfinite(float(loss))
+    # every row in every chunk corresponds to a live (not-ended) step;
+    # with the synthetic grid's short episodes, that is strictly fewer
+    # than T*B for at least one trajectory ending before max_action_len
+    T = max(len(t["path"]) for t in traj)
+    assert sum(rows_seen) <= T * len(traj)
+    lens = [len(t["path"]) for t in traj]
+    if len(set(lens)) > 1 or min(lens) < 4:
+        assert sum(rows_seen) < 4 * len(traj)
