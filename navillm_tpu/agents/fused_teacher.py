@@ -273,27 +273,33 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         "pano_masks": cat_steps(lambda s: s["vp_in"]["pano_masks"]),
         "local_match_slot": cat_steps(lambda s: s["match"]),
     }
-    with agent.timer.stage("nav_device"):
-        fuse_all = agent.runner.fuse_embeds_only(fuse_batch) \
-            .reshape(T, B, -1, H)
+    # fusion runs over LIVE rows only (a history append at (t, i)
+    # requires target != ignoreid, which implies the row is live)
+    fuse_batch = {k: v[live_idx] for k, v in fuse_batch.items()}
+    with agent.timer.stage("fuse_device"):
+        fuse_live = agent.runner.fuse_embeds_only(fuse_batch)  # [n_live,S,H]
 
-    # history: hist_vis[t] for episode i = fuse_all[t'][i, target_{t'}]
-    # for t' < t (appended for every non-ignored step, incl. after end —
+    # history: hist_vis[t] for episode i = fuse row of (t', i), slot
+    # target_{t'}, for t' < t (appended for every non-ignored step —
     # matching rollout's history loop over a_t != ignoreid)
     Hh = agent.dims.max_hist
-    hist_embeds_rows = np.zeros((T * B, Hh, H), np.float32)
+    hist_embeds_live = np.zeros((n_live, Hh, H), np.float32)
     hist_counts = np.zeros((T, B), np.int32)
     hist_store = [[] for _ in range(B)]
     for st_idx, step in enumerate(steps):
         for i in range(B):
             hist_counts[st_idx, i] = len(hist_store[i])
+            row = compact_of[st_idx * B + i]
+            if row < 0:
+                continue
             tail = hist_store[i][-Hh:]
             for k, v in enumerate(tail):
-                hist_embeds_rows[st_idx * B + i, k] = v
+                hist_embeds_live[row, k] = v
         for i in range(B):
             a = step["targets"][i]
             if a != args.ignoreid:
-                hist_store[i].append(fuse_all[st_idx, i, a])
+                hist_store[i].append(
+                    fuse_live[compact_of[st_idx * B + i], a])
 
     # ------------- phase 5: one navigation LLM loss+grad call ------------
     # prompts/targets/hist rows are built for LIVE rows only (compact
@@ -320,12 +326,12 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
                 cls_token=CLS_TOKEN_TEXT))
     tok_batch, cand_pos, hist_pos, cls_pos = \
         agent.runner.tokenize_with_positions(prompts)
-    nav_batch = {k: v[live_idx] for k, v in fuse_batch.items()}
+    nav_batch = dict(fuse_batch)            # already live-compacted
     nav_batch.update({
         "cand_order": np.stack(orders),
         "cand_positions": cand_pos,
         "hist_positions": hist_pos,
-        "hist_embeds": hist_embeds_rows[live_idx],
+        "hist_embeds": hist_embeds_live,
         "input_ids": tok_batch.input_ids,
         "attention_mask": tok_batch.attention_mask,
         "cls_pos": cls_pos,
