@@ -300,9 +300,10 @@ def bench_train_e2e(args):
     from navillm_tpu.training.optim import make_optimizer
     from navillm_tpu.utils.config import ConfigDict
 
-    # sweep (r3, BPE prompts): b=8 -> 2.7x, b=16 -> 3.2x, b=24 -> 3.5x;
-    # rows=96 regressed (memory pressure) so chunks stay at 48
-    b = args.batch or 24
+    # sweep (r3, BPE prompts, pipeline + row compaction): b=24 -> 4.3x,
+    # b=32 -> 4.9x, b=40 -> 1.8x (memory pressure collapse); rows=96
+    # regressed so grad chunks stay at 48
+    b = args.batch or 32
     cfg, runner, agent, ds, targs, tcfg, Dataloader = \
         _rollout_world(args, _model(args.debug, args.model, _use_a8(args)), b)
     targs.fused_teacher = True
