@@ -255,12 +255,12 @@ def bench_rollout(args):
     """Greedy eval rollouts end-to-end on a synthetic grid world."""
     # proxy: 32 slots/stream measured ~4% over 16 on the real chip
     # (B=32 fills the MXU a little better at T=256); 64 in-flight
-    # episodes total. 7B: 12/stream — the prefix KV cache is ~200 MB
-    # per slot (32 layers x 32 MHA kv-heads), so 2x12 slots + int8
-    # weights is what fits the 12 GB prefix_cache_enabled budget, and
-    # throughput at compute-bound 7B scales with tokens-per-step, not
-    # slot count
-    n_slots = args.batch or (12 if args.model == "7b" else 32)
+    # episodes total. 7B: 16/stream — the prefix KV cache is ~200 MB
+    # per slot (32 layers x 32 MHA kv-heads); with int8 weights the
+    # r3 sweep gave 12 -> 8.33, 14 -> 8.77, 16 -> 9.10, 20 -> 8.57
+    # eps/s (W8A8 + prefix cache), so 2x16 is the sweet spot before
+    # HBM pressure wins
+    n_slots = args.batch or (16 if args.model == "7b" else 32)
     cfg, runner, agent, ds, targs, tcfg, Dataloader = \
         _rollout_world(args, _model(args.debug, args.model, _use_a8(args)), n_slots)
     targs.prefix_cache = args.prefix_cache
