@@ -337,3 +337,50 @@ def test_init_nav_params_quantize_llm_flag():
     q_ref = Q._quantize_llama_impl(dp["llm"])
     np.testing.assert_array_equal(np.asarray(qp["llm"]["lm_head"]["q"]),
                                   np.asarray(q_ref["lm_head"]["q"]))
+
+def test_act_int8_trajectory_agreement_synthetic_world(train_args,
+                                                       task_config,
+                                                       data_dir):
+    """W8A8 (--act_int8) streaming eval on the synthetic world produces
+    (near-)identical trajectories to the weight-only int8 policy — the
+    end-to-end accuracy contract behind the `--a8` bench headline."""
+    import dataclasses
+    from navillm_tpu.agents import load_agent
+    from navillm_tpu.agents.runner import NavModelRunner, RolloutDims
+    from navillm_tpu.data.datasets import load_dataset
+    from navillm_tpu.data.feature_db import SyntheticImageFeaturesDB
+    from navillm_tpu.data.loaders import Dataloader
+    from navillm_tpu.models.tokenization import NavTokenizer
+    from navillm_tpu.sim import WorldModel
+    from navillm_tpu.utils.config import ConfigDict
+
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    qparams = Q.quantize_nav_params(params)
+    optim_cfg = ConfigDict({"Optim": {"val_max_action_len": {"R2R": 5}}})
+
+    args = train_args
+    args.image_feat_size = cfg.pano.image_feat_size
+    args.obj_feat_size = cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
+
+    def run_eval(c):
+        runner = NavModelRunner(c, qparams, tok, dims=RolloutDims.tiny())
+        agent = load_agent("r2r", args, world, runner)
+        preds = agent.validate_streaming(
+            "R2R", args, optim_cfg, Dataloader(ds, 2, shuffle=False),
+            dataset=ds)
+        return {p_["instr_id"]: p_["trajectory"] for p_ in preds}
+
+    preds_w = run_eval(cfg)
+    cfg8 = NM.NavModelConfig(
+        llm=dataclasses.replace(cfg.llm, act_int8=True), pano=cfg.pano)
+    preds_a8 = run_eval(cfg8)
+    assert preds_w.keys() == preds_a8.keys()
+    same = sum(preds_w[k] == preds_a8[k] for k in preds_w)
+    assert same >= 0.9 * len(preds_w), (same, len(preds_w))
