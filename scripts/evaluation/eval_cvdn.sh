@@ -7,3 +7,5 @@ python train.py \
     --test_datasets CVDN \
     --batch_size 4 --output_dir build/eval --validation_split test \
     --save_pred_results
+# One 16 GB v5e chip at 7B: add  --quantize_llm --act_int8  (int8
+# weights + W8A8 MXU matmuls; accuracy contract in tests/test_quant.py)
