@@ -274,10 +274,16 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         "local_match_slot": cat_steps(lambda s: s["match"]),
     }
     # fusion runs over LIVE rows only (a history append at (t, i)
-    # requires target != ignoreid, which implies the row is live)
-    fuse_batch = {k: v[live_idx] for k, v in fuse_batch.items()}
+    # requires target != ignoreid, which implies the row is live).
+    # Rows pad up to a multiple of the grad-chunk width by repeating
+    # the last live row: n_live varies almost arbitrarily per batch,
+    # and an unpadded call would compile a fresh executable per new
+    # count (the same reason phases 2/5 run fixed-width chunks).
+    n_fuse = -(-n_live // chunk) * chunk
+    fuse_sel = np.minimum(np.arange(n_fuse), n_live - 1)
+    fuse_batch = {k: v[live_idx][fuse_sel] for k, v in fuse_batch.items()}
     with agent.timer.stage("fuse_device"):
-        fuse_live = agent.runner.fuse_embeds_only(fuse_batch)  # [n_live,S,H]
+        fuse_live = agent.runner.fuse_embeds_only(fuse_batch)[:n_live]
 
     # history: hist_vis[t] for episode i = fuse row of (t', i), slot
     # target_{t'}, for t' < t (appended for every non-ignored step —

@@ -1137,11 +1137,15 @@ class MP3DAgent:
         host-under-device pipelining `validate_streaming` uses for
         eval, applied to the sample-feedback training half (VERDICT r2
         #3b; reference mp3d_agent.py:593-757 is the serial loop being
-        beaten). Gradient semantics are preserved exactly: every
-        stream's loss terms divide by the FULL batch size
-        (loss_denom), and device-side grad accumulation is additive,
-        so grads equal the unsplit batch's up to fp reordering
-        (tests/test_dagger_pipeline.py)."""
+        beaten). Gradient STRUCTURE is preserved: every stream's loss
+        terms divide by the FULL batch size (loss_denom) and device-
+        side grad accumulation is additive, so grads exactly equal
+        draining the same streams sequentially (up to fp reordering —
+        tests/test_dagger_pipeline.py). Versus the UNSPLIT batch,
+        per-stream rngs draw different candidate-order permutations
+        (data augmentation), so individual grads differ within
+        augmentation jitter while normalization and expectation
+        match."""
         denom = sum(len(h["observations"]) for h in halves)
         stream_rngs = kwargs.pop("stream_rngs", None)
         if stream_rngs is None:

@@ -6,6 +6,7 @@ python train.py \
     --resume_from_checkpoint $model_path \
     --test_datasets SOON \
     --batch_size 4 --output_dir build/eval --validation_split test \
-    --save_pred_results
+    --save_pred_results \
+    --do_sample --temperature 0.01 --enable_og
 # One 16 GB v5e chip at 7B: add  --quantize_llm --act_int8  (int8
-# weights + W8A8 MXU matmuls; accuracy contract in tests/test_quant.py) --do_sample --temperature 0.01 --enable_og
+# weights + W8A8 MXU matmuls; accuracy contract in tests/test_quant.py)
