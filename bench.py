@@ -310,6 +310,8 @@ def bench_train_e2e(args):
     targs.gradient_accumulation_step = 2
     if args.rows:
         targs.fused_rows_per_call = args.rows
+    if args.streams:
+        targs.dagger_streams = args.streams
     ds.training = True
 
     from navillm_tpu.training.train_loop import make_opt_step
@@ -495,6 +497,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--rows", type=int, default=None,
                     help="train_e2e: fused_rows_per_call override")
+    ap.add_argument("--streams", type=int, default=None,
+                    help="train_e2e: interleaved DAgger stream count")
     ap.add_argument("--timing", action="store_true",
                     help="print per-stage timer breakdown to stderr")
     ap.add_argument("--prefix_cache", action="store_true",

@@ -487,8 +487,10 @@ class MP3DAgent:
                         and getattr(self.runner, "device_memory", True)
                         and len(batch["observations"]) >= 4)
             if pipeline:
+                n_streams = max(2, int(getattr(args, "dagger_streams", 2)))
                 loss, _ = self.rollout_interleaved(
-                    args, name, config.Optim, _split_batch_dict(batch),
+                    args, name, config.Optim,
+                    _split_batch_dict(batch, n_streams),
                     dataset=dataset, feedback="sample",
                     train_ml=loss_coef, metrics=metrics, **kwargs)
             else:
@@ -1612,12 +1614,12 @@ def _softmax(x: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def _split_batch_dict(batch_dict: dict) -> List[dict]:
-    """Split a loader batch into two half-batches for the interleaved
-    DAgger pipeline. Per-sample list/array entries are sliced; scalars
-    are copied; 'batch_size' is recomputed."""
+def _split_batch_dict(batch_dict: dict, n_streams: int = 2) -> List[dict]:
+    """Split a loader batch into `n_streams` contiguous sub-batches for
+    the interleaved DAgger pipeline. Per-sample list/array entries are
+    sliced; scalars are copied; 'batch_size' is recomputed."""
     n = len(batch_dict["observations"])
-    h = n // 2
+    n_streams = max(1, min(n_streams, n))
 
     def cut(sl: slice) -> dict:
         out = {}
@@ -1631,7 +1633,9 @@ def _split_batch_dict(batch_dict: dict) -> List[dict]:
         out["batch_size"] = len(out["observations"])
         return out
 
-    return [cut(slice(0, h)), cut(slice(h, n))]
+    bounds = [round(i * n / n_streams) for i in range(n_streams + 1)]
+    return [cut(slice(bounds[i], bounds[i + 1])) for i in range(n_streams)
+            if bounds[i] < bounds[i + 1]]
 
 
 @AGENTS.register("r2r")

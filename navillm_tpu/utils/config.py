@@ -142,10 +142,14 @@ class TrainArgs:
     # trajectory instead of per step; same gradients — SURVEY.md §7.1)
     fused_teacher: bool = True
     # double-buffered DAgger (sample-feedback) training: split each
-    # batch into two interleaved streams so one stream's host work
-    # (env stepping, prompt assembly) hides under the other's device
-    # step; grads match the unsplit batch (mp3d_agent.rollout_interleaved)
+    # batch into interleaved streams so one stream's host work (env
+    # stepping, prompt assembly) hides under another's device step;
+    # same loss normalization / gradient structure as the unsplit
+    # batch (mp3d_agent.rollout_interleaved)
     dagger_pipeline: bool = True
+    # number of interleaved DAgger streams (>=2). More streams hide
+    # host work at finer grain but shrink each device call's batch
+    dagger_streams: int = 2
     # fixed row-chunk width for the fused-teacher grad calls: bounds the
     # per-call activation footprint (a whole trajectory batch at
     # T*B ~ 80 rows x 512 tokens + AdamW state is marginal on 16 GB)

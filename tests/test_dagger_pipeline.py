@@ -194,3 +194,36 @@ def test_train_routes_sample_batches_through_pipeline(
     loss = agent.train("R2R", batch, args, cfg, dataset=ds, step=1)
     assert np.isfinite(float(loss))
     assert calls["plain"] == 1
+
+
+def test_split_batch_dict_n_streams():
+    batch = {"observations": list(range(10)), "env": list(range(10)),
+             "item": list(range(10)), "data_type": ["r2r"] * 10,
+             "instr_id": list(range(10)), "batch_size": 10}
+    for n in (2, 3, 4):
+        parts = _split_batch_dict(batch, n)
+        assert len(parts) == n
+        assert sum(p["batch_size"] for p in parts) == 10
+        joined = [o for p in parts for o in p["observations"]]
+        assert joined == batch["observations"]
+    # degenerate requests clamp instead of emitting empty streams
+    assert len(_split_batch_dict(batch, 1)) == 1
+    assert len(_split_batch_dict(batch, 99)) == 10
+
+
+def test_interleaved_three_streams(train_args, task_config, data_dir,
+                                   det_runner, optim_cfg):
+    """A 3-way interleave still produces valid trajectories and
+    nonzero grads — the dagger_streams knob's basic contract."""
+    args, ds, agent = _setup(train_args, task_config, data_dir, det_runner)
+    batch = next(iter(Dataloader(ds, batch_size=6, shuffle=False)))
+    n = len(batch["observations"])
+    assert n >= 3
+    det_runner.zero_grads()
+    loss, traj = agent.rollout_interleaved(
+        args, "R2R", optim_cfg.Optim, _split_batch_dict(batch, 3),
+        dataset=ds, feedback="sample", train_ml=1.0)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert len(traj) == n
+    total = sum(float(np.abs(g).sum()) for g in _grab(det_runner))
+    assert total > 0
