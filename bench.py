@@ -449,23 +449,44 @@ CAL_REF_TFLOPS = 85.3
 def bench_all(args):
     """Default driver mode: one JSON line whose headline is the TRUE-
     SCALE anchor (7B int8 streaming rollout), with every other anchor
-    in an `anchors` dict (VERDICT r2 #6: no proxy-as-headline)."""
+    in an `anchors` dict (VERDICT r2 #6: no proxy-as-headline).
+
+    A soft time budget (NAVILLM_BENCH_BUDGET_S, default 2700 s) skips
+    remaining anchors once exceeded so the process always terminates
+    and PRINTS its JSON before any outer timeout kills it — a killed
+    process records nothing. After each anchor the partial result is
+    dumped to BENCH_PARTIAL.json for post-mortems."""
     import copy
+    import os
     anchors = {}
+    t0 = time.perf_counter()
+    budget = float(os.environ.get("NAVILLM_BENCH_BUDGET_S", "2700"))
 
     def run(mode, model, **overrides):
+        if anchors and time.perf_counter() - t0 > budget:
+            print(f"[bench] {mode}/{model} SKIPPED: "
+                  f"{time.perf_counter() - t0:.0f}s > {budget:.0f}s budget",
+                  file=sys.stderr)
+            return None
         a = copy.copy(args)
         a.mode, a.model = mode, model
         for k, v in overrides.items():
             setattr(a, k, v)
         try:
-            return {"train_step": bench_train_step, "rollout": bench_rollout,
-                    "decode": bench_decode,
-                    "train_e2e": bench_train_e2e}[mode](a)
+            out = {"train_step": bench_train_step, "rollout": bench_rollout,
+                   "decode": bench_decode,
+                   "train_e2e": bench_train_e2e}[mode](a)
         except Exception as e:   # record the failure, keep benching
             print(f"[bench] {mode}/{model} FAILED: {type(e).__name__}: {e}",
                   file=sys.stderr)
             return None
+        try:
+            done = {k: v for k, v in anchors.items() if v is not None}
+            done[f"{mode}_{model}"] = out
+            Path("BENCH_PARTIAL.json").write_text(json.dumps(done))
+        except OSError:
+            pass
+        return out
 
     # a8=True: W8A8 measured +31% e2e on rollout and +7% on decode over
     # weight-only int8 (accuracy contract pinned by tests/test_quant.py)
