@@ -194,6 +194,15 @@ class NavTokenizer:
         self.true_vocab_size = b.true_vocab_size
         # embedding table size: MXU-aligned
         self.vocab_size = _round_up(self.true_vocab_size, 128)
+        # per-instance encode LRU: navigation prompts repeat heavily
+        # (same instruction re-tokenized every rollout step; eval
+        # passes and training epochs revisit identical prompts), and
+        # BPE encoding is host-side pure-Python work on the rollout
+        # hot path. Keyed by (text, add_bos); values are immutable
+        # tuples so cache hits cannot be corrupted by callers.
+        import functools
+        self._encode_cached = functools.lru_cache(maxsize=65536)(
+            self._encode_uncached)
 
     @classmethod
     def from_pretrained(cls, path: str, **kw) -> "NavTokenizer":
@@ -206,9 +215,12 @@ class NavTokenizer:
         behavior must be measured on subword, not byte, prompts)."""
         return cls(BPETokenizer(json_path), **kw)
 
-    def encode(self, text: str, add_bos: bool = True) -> List[int]:
+    def _encode_uncached(self, text: str, add_bos: bool) -> tuple:
         ids = self.backend.encode(text)
-        return ([self.bos_id] + ids) if add_bos else ids
+        return tuple([self.bos_id] + ids) if add_bos else tuple(ids)
+
+    def encode(self, text: str, add_bos: bool = True) -> List[int]:
+        return list(self._encode_cached(text, add_bos))
 
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
         ids = [int(t) for t in ids if int(t) != self.pad_id]

@@ -101,3 +101,20 @@ def test_bpe_batch_contract():
     assert batch.token_type_ids[0].max() == 0
     # vocab MXU-aligned
     assert tok.vocab_size % 128 == 0
+
+
+def test_encode_lru_cache_hits_and_matches():
+    """Repeated encodes hit the per-instance LRU and return equal,
+    independently-mutable lists."""
+    from navillm_tpu.models.tokenization import NavTokenizer
+    tok = NavTokenizer.bpe(max_length=256, pad_to_multiple=64)
+    a = tok.encode("walk past the sofa and stop <cand> here")
+    b = tok.encode("walk past the sofa and stop <cand> here")
+    assert a == b and a is not b
+    info = tok._encode_cached.cache_info()
+    assert info.hits >= 1
+    b.append(999)   # mutating a returned list must not poison the cache
+    assert tok.encode("walk past the sofa and stop <cand> here") == a
+    # add_bos variants are distinct entries
+    assert tok.encode("x", add_bos=False) == \
+        tok.encode("x", add_bos=True)[1:]
