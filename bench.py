@@ -406,6 +406,31 @@ def bench_decode(args):
             "vs_baseline": round(v / REF_DECODE_TOK_PER_SEC_PER_CHIP, 3)}
 
 
+def device_preflight(timeout_s: float = 240.0):
+    """Probe jax backend init in a SUBPROCESS before this process
+    touches jax. If the tunneled TPU's relay daemon is dead, backend
+    init hangs indefinitely (even with JAX_PLATFORMS=cpu, because the
+    axon plugin is registered via an injected sitecustomize) — the
+    driver's round-end bench run would then record NOTHING. The probe
+    contains that hang behind a timeout so the failure mode is an
+    honest one-line JSON instead of a silent infinite hang.
+
+    Returns (platform, None) on success or (None, reason) on failure.
+    """
+    import subprocess
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True,
+                           text=True)
+    except subprocess.TimeoutExpired:
+        return None, (f"jax backend init did not respond within "
+                      f"{timeout_s:.0f}s (TPU relay down?)")
+    if r.returncode == 0 and r.stdout.strip():
+        return r.stdout.strip().splitlines()[-1], None
+    return None, (r.stderr or "jax device probe failed").strip()[-400:]
+
+
 def chip_calibration():
     """Measure raw chip matmul speed. The matmul repeats N times inside
     ONE jit (fori_loop) so the ~25ms relay sync floor amortizes — timing
@@ -461,6 +486,10 @@ def bench_all(args):
     anchors = {}
     t0 = time.perf_counter()
     budget = float(os.environ.get("NAVILLM_BENCH_BUDGET_S", "2700"))
+    try:   # a stale partial from an earlier run must not leak into
+        Path("BENCH_PARTIAL.json").unlink()   # this run's watchdog dump
+    except OSError:
+        pass
 
     def run(mode, model, **overrides):
         if anchors and time.perf_counter() - t0 > budget:
@@ -504,6 +533,43 @@ def bench_all(args):
     return out
 
 
+def _arm_watchdog(deadline_s: float):
+    """Hard-deadline guard for the driver's `--mode all` run: the soft
+    budget in bench_all only helps BETWEEN anchors — if the relay dies
+    (or an anchor wedges) MID-anchor, the process would hang forever
+    and the round records nothing. On firing, promote whatever anchors
+    already completed (BENCH_PARTIAL.json, written after each anchor)
+    to stdout as the final JSON and exit."""
+    import os
+    import threading
+
+    def fire():
+        partial = {}
+        try:
+            p = Path("BENCH_PARTIAL.json")
+            if p.exists():
+                partial = json.loads(p.read_text())
+        except Exception:
+            partial = {}
+        out = {"metric": "bench hard-deadline hit mid-anchor",
+               "value": 0.0, "unit": "episodes/sec", "vs_baseline": 0.0,
+               "error": f"exceeded {deadline_s:.0f}s "
+                        f"(NAVILLM_BENCH_DEADLINE_S); anchors completed "
+                        f"before the hang are attached"}
+        head = partial.get("rollout_7b") or partial.get("rollout_proxy")
+        if head:   # a completed headline anchor beats the error stub
+            out.update({k: head[k] for k in
+                        ("metric", "value", "unit", "vs_baseline")})
+        out["anchors"] = partial
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--debug", action="store_true")
@@ -536,6 +602,25 @@ def main():
                     help="weight-only int8 LLM (default: on for 7B "
                          "eval modes, off otherwise)")
     args = ap.parse_args()
+    if not args.debug:
+        platform, err = device_preflight()
+        if platform is None:
+            # honest structured failure: the driver records THIS line
+            # instead of hanging forever on a dead relay
+            print(f"[bench] device preflight FAILED: {err}",
+                  file=sys.stderr)
+            print(json.dumps({
+                "metric": "bench unavailable: jax device init failed",
+                "value": 0.0, "unit": "episodes/sec", "vs_baseline": 0.0,
+                "error": err}))
+            return
+        print(f"[bench] device preflight: platform={platform}",
+              file=sys.stderr)
+    watchdog = None
+    if not args.debug and args.mode == "all":
+        import os
+        watchdog = _arm_watchdog(
+            float(os.environ.get("NAVILLM_BENCH_DEADLINE_S", "5400")))
     cal = None
     if not args.debug:
         cal = chip_calibration()
@@ -545,6 +630,8 @@ def main():
           "rollout": bench_rollout, "decode": bench_decode,
           "train_e2e": bench_train_e2e}[args.mode]
     out = fn(args)
+    if watchdog is not None:
+        watchdog.cancel()
     if cal:
         out["calibration_tflops"] = cal
         out["vs_baseline_calnorm"] = round(
