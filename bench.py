@@ -58,6 +58,8 @@ def _scale_tag(args) -> str:
     base = "Vicuna-7B dims" if args.model == "7b" else "1.3B proxy"
     if _use_quant(args):
         base += " int8-w8a8" if _use_a8(args) else " int8"
+    if getattr(args, "kv8", False):
+        base += " kv8"
     return base
 
 
@@ -264,6 +266,7 @@ def bench_rollout(args):
     cfg, runner, agent, ds, targs, tcfg, Dataloader = \
         _rollout_world(args, _model(args.debug, args.model, _use_a8(args)), n_slots)
     targs.prefix_cache = args.prefix_cache
+    targs.kv_int8 = bool(args.kv8)
 
     # warmup (compile) with one untimed streaming pass: compiles the
     # fused eval-step executable for every prompt-length bucket
@@ -387,15 +390,16 @@ def bench_decode(args):
     import jax.numpy as jnp
     mask = jnp.ones((b, prompt), bool)
 
+    kv8 = bool(args.kv8)
     out = generate(params, cfg, jnp.asarray(ids), mask, eos_id=-1, pad_id=0,
-                   max_new_tokens=new)
+                   max_new_tokens=new, kv_int8=kv8)
     np.asarray(out)
     iters = 2 if args.debug else 5
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = generate(params, cfg, jnp.asarray(ids), mask, eos_id=-1,
-                       pad_id=0, max_new_tokens=new)
+                       pad_id=0, max_new_tokens=new, kv_int8=kv8)
         np.asarray(out)
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)
@@ -597,6 +601,10 @@ def main():
     ap.add_argument("--a8", action="store_true",
                     help="W8A8: int8 activations on top of --quant so "
                          "matmuls run int8xint8 on the MXU (eval only)")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV caches (rollout prefix cache + decode "
+                         "prompt stack): half the HBM residency, so "
+                         "more slots / larger decode batches fit")
     ap.add_argument("--quant", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="weight-only int8 LLM (default: on for 7B "

@@ -145,16 +145,42 @@ def eval_step(params, cfg, pano_apply, state, pano_in, batch, reset_mask,
     return state, a_t, logits
 
 
-def init_prefix_cache(llm_cfg, batch: int, max_prefix: int):
+def init_prefix_cache(llm_cfg, batch: int, max_prefix: int,
+                      kv_int8: bool = False):
     """Per-slot ragged prompt-prefix KV cache (vLLM-style prefix caching
     for the rollout: instruction+history tokens are append-only per
     episode, so each step forwards only the new history tokens and the
-    candidates section)."""
+    candidates section). kv_int8 stores values int8 with per-token-
+    per-head fp32 scales (models/llama.py:kv_quantize) — half the HBM
+    residency, which is the slot-count ceiling at 7B on 16 GB."""
     L_, nkv, d = llm_cfg.num_layers, llm_cfg.num_kv_heads, llm_cfg.head_dim
     shape = (L_, batch, max_prefix, nkv, d)
-    return {"pkv_k": jnp.zeros(shape, llm_cfg.dtype),
-            "pkv_v": jnp.zeros(shape, llm_cfg.dtype),
-            "plen": jnp.zeros((batch,), jnp.int32)}
+    out = {"plen": jnp.zeros((batch,), jnp.int32)}
+    if kv_int8:
+        sshape = (L_, batch, max_prefix, nkv, 1)
+        out.update({"pkv_k": jnp.zeros(shape, jnp.int8),
+                    "pkv_ks": jnp.zeros(sshape, jnp.float32),
+                    "pkv_v": jnp.zeros(shape, jnp.int8),
+                    "pkv_vs": jnp.zeros(sshape, jnp.float32)})
+    else:
+        out.update({"pkv_k": jnp.zeros(shape, llm_cfg.dtype),
+                    "pkv_v": jnp.zeros(shape, llm_cfg.dtype)})
+    return out
+
+
+def _cache_kv_view(cache):
+    """The {"k"[,"ks"],"v"[,"vs"]} view llama.py's cached kernels take."""
+    if "pkv_ks" in cache:
+        return {"k": cache["pkv_k"], "ks": cache["pkv_ks"],
+                "v": cache["pkv_v"], "vs": cache["pkv_vs"]}
+    return {"k": cache["pkv_k"], "v": cache["pkv_v"]}
+
+
+def _cache_from_kv(kv, plen):
+    out = {"pkv_k": kv["k"], "pkv_v": kv["v"], "plen": plen}
+    if "ks" in kv:
+        out["pkv_ks"], out["pkv_vs"] = kv["ks"], kv["vs"]
+    return out
 
 
 def prefill_prefix(params, llm_cfg, cache, ids, mask, rows, valid):
@@ -176,18 +202,21 @@ def prefill_prefix(params, llm_cfg, cache, ids, mask, rows, valid):
     # only the [:, rows, :pw] sub-region (tokens beyond plen stay
     # invisible behind prefix_mask regardless of stale content)
     p = cache["pkv_k"].shape[2]
-    kvk = kv["k"][:, :, :p].astype(cache["pkv_k"].dtype)
-    kvv = kv["v"][:, :, :p].astype(cache["pkv_v"].dtype)
-    pw = kvk.shape[2]
+    pieces = {"pkv_k": kv["k"][:, :, :p], "pkv_v": kv["v"][:, :, :p]}
+    if "pkv_ks" in cache:   # int8 cache: quantize the fresh prefixes
+        pieces["pkv_k"], pieces["pkv_ks"] = L.kv_quantize(pieces["pkv_k"])
+        pieces["pkv_v"], pieces["pkv_vs"] = L.kv_quantize(pieces["pkv_v"])
     vmask = valid[None, :, None, None, None]
-    new_k = cache["pkv_k"].at[:, rows, :pw].set(
-        jnp.where(vmask, kvk, cache["pkv_k"][:, rows, :pw]))
-    new_v = cache["pkv_v"].at[:, rows, :pw].set(
-        jnp.where(vmask, kvv, cache["pkv_v"][:, rows, :pw]))
-    new_len = cache["plen"].at[rows].set(
+    out = {}
+    for name, new in pieces.items():
+        new = new.astype(cache[name].dtype)
+        pw = new.shape[2]
+        out[name] = cache[name].at[:, rows, :pw].set(
+            jnp.where(vmask, new, cache[name][:, rows, :pw]))
+    out["plen"] = cache["plen"].at[rows].set(
         jnp.where(valid, mask.sum(1).astype(jnp.int32),
                   cache["plen"][rows]))
-    return {"pkv_k": new_k, "pkv_v": new_v, "plen": new_len}
+    return out
 
 
 def eval_step_cached(params, cfg, pano_apply, state, cache, pano_in, batch,
@@ -234,7 +263,7 @@ def eval_step_cached(params, cfg, pano_apply, state, cache, pano_in, batch,
     bidx = jnp.broadcast_to(jnp.arange(b)[:, None], order.shape)
     cand_embeds = jnp.where(ovalid[..., None], fuse[bidx, order_safe], 0.0)
 
-    pkv = {"k": cache["pkv_k"], "v": cache["pkv_v"]}
+    pkv = _cache_kv_view(cache)
     pmax = pkv["k"].shape[2]
     prefix_mask = jnp.arange(pmax)[None, :] < plen[:, None]
 
@@ -286,8 +315,7 @@ def eval_step_cached(params, cfg, pano_apply, state, cache, pano_in, batch,
     fuse_sg = jax.lax.stop_gradient(fuse)
     state = hist_append(state, fuse_sg, jnp.where(active_mask, a_t, -1))
 
-    new_cache = {"pkv_k": pkv["k"], "pkv_v": pkv["v"], "plen": plen}
-    return state, new_cache, a_t, logits
+    return state, _cache_from_kv(pkv, plen), a_t, logits
 
 
 def nav_step_from_memory(params, cfg, state, batch, pano_embeds):

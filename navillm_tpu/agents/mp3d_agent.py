@@ -641,10 +641,11 @@ class MP3DAgent:
         # the whole prompt (the instruction+history prefix is
         # append-only per episode). Auto-off when the cache would not
         # fit next to the weights (7B eval-only on 16 GB).
+        kv_int8 = getattr(args, "kv_int8", False)
         use_cache = use_mem and getattr(args, "prefix_cache", False) and \
             self.runner.prefix_cache_enabled(num_slots,
                                              self.dims.max_prefix,
-                                             n_caches=2)
+                                             n_caches=2, kv_int8=kv_int8)
         # TWO slot groups pipeline the memory path: while the device runs
         # group A's fused step (dispatch is async, only a_t is ever
         # downloaded), the host retires group B's previous actions
@@ -676,7 +677,8 @@ class MP3DAgent:
             st.mem_state = (self.runner.memory_init(len(st.slots))
                             if use_mem else None)
             st.cache = (self.runner.prefix_cache_init(
-                len(st.slots), self.dims.max_prefix) if use_cache else None)
+                len(st.slots), self.dims.max_prefix, kv_int8=kv_int8)
+                if use_cache else None)
             st.prefill_items = []
             # slots refilled last iteration; their device memory is
             # zeroed at the start of the fused step

@@ -55,7 +55,7 @@ class NavModelRunner:
     def __init__(self, cfg: NM.NavModelConfig, params, tokenizer: NavTokenizer,
                  dims: RolloutDims = RolloutDims(), feat_dropout: float = 0.4,
                  ignore_id: int = -100, seed: int = 0, mesh_plan=None,
-                 device_memory: bool = True):
+                 device_memory: bool = True, kv_int8: bool = False):
         """mesh_plan: optional parallel.mesh.MeshPlan — params get their
         (data, model) shardings (LLM tensor-parallel over 'model', small
         modules replicated) and batch arrays shard their leading episode
@@ -90,6 +90,10 @@ class NavModelRunner:
         # node embeddings + history stay in HBM; per-step host traffic is
         # integer bookkeeping + [B, G] logits only
         self.device_memory = device_memory
+        # int8 storage for the decode prompt-KV stack (generate); the
+        # streaming prefix cache takes its own kv_int8 through
+        # prefix_cache_init (both: models/llama.py:kv_quantize)
+        self.kv_int8 = kv_int8
         if mesh_plan is not None:
             from ..parallel.mesh import nav_param_specs, shard_params
             quantized = isinstance(params["llm"].get("lm_head"), dict)
@@ -654,24 +658,30 @@ class NavModelRunner:
             jnp.float32(temperature), do_sample=do_sample)
         return state, (np.asarray(a_t) if sync else a_t), logits
 
-    def prefix_cache_init(self, batch: int, max_prefix: int):
+    def prefix_cache_init(self, batch: int, max_prefix: int,
+                          kv_int8: bool = False):
         from . import device_memory as DM
-        return DM.init_prefix_cache(self.cfg.llm, batch, max_prefix)
+        return DM.init_prefix_cache(self.cfg.llm, batch, max_prefix,
+                                    kv_int8=kv_int8)
 
     def prefix_cache_enabled(self, batch: int, max_prefix: int,
-                             n_caches: int = 1) -> bool:
+                             n_caches: int = 1,
+                             kv_int8: bool = False) -> bool:
         """Auto policy: cache the prompt prefix when the K/V caches fit
         comfortably next to the weights. n_caches: one per slot group
         (the two-stream pipeline allocates two). 7B bf16 (~13.5 GB)
         fails this; 7B int8 (~6.8 GB, models/quant.py) passes with
         right-sized max_prefix — params_bytes is computed from the
         ACTUAL leaves, so quantization widens the budget automatically.
-        The 12 GB ceiling leaves ~3 GB of a 16 GB chip for activations,
-        executables, and the XLA workspace."""
+        kv_int8 halves the per-element cache cost (plus 4/head_dim
+        scale overhead). The 12 GB ceiling leaves ~3 GB of a 16 GB chip
+        for activations, executables, and the XLA workspace."""
         c = self.cfg.llm
-        bytes_needed = n_caches * (2 * c.num_layers * batch * max_prefix
-                                   * c.num_kv_heads * c.head_dim
-                                   * jnp.dtype(c.dtype).itemsize)
+        itemsize = (1 + 4 / c.head_dim) if kv_int8 \
+            else jnp.dtype(c.dtype).itemsize
+        bytes_needed = n_caches * int(2 * c.num_layers * batch * max_prefix
+                                      * c.num_kv_heads * c.head_dim
+                                      * itemsize)
         params_bytes = sum(x.size * x.dtype.itemsize
                            for x in jax.tree.leaves(self.params))
         return self.device_memory and \
@@ -760,7 +770,8 @@ class NavModelRunner:
             special_token_mask=self._special_mask,
             eos_id=self.tok.eos_id, pad_id=self.tok.pad_id,
             max_new_tokens=max_new_tokens, do_sample=do_sample,
-            temperature=temperature, rng=self._next_rng(), trie=trie)
+            temperature=temperature, rng=self._next_rng(), trie=trie,
+            kv_int8=self.kv_int8)
         return np.asarray(out)
 
     # ---------------- tokenization helpers (host) ---------------------- #

@@ -37,7 +37,7 @@ _JIT_CACHE_MAX = 32
 def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
                      pad_id: int, do_sample: bool,
                      special_token_mask, trie: Optional[DenseTrie],
-                     loop: str = "scan"):
+                     loop: str = "scan", kv_int8: bool = False):
     """Decode program: jitted prefill + either a scanned token loop
     ("scan", one executable, best when the model fits comfortably) or an
     eager Python token loop of per-token jits ("eager", required at 7B
@@ -75,6 +75,10 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
                                                inject_embeds)
         hidden, prompt_kv = L.forward_hidden(params, cfg, inputs_embeds,
                                              attention_mask, return_kv=True)
+        if kv_int8:
+            # halve the read-only prompt stack's residency: it is the
+            # decode-batch capacity ceiling at 7B (b=32 bf16 ~ 4.3 GB)
+            prompt_kv = L.quantize_kv_stack(prompt_kv)
         last_logits = L._mm(hidden[:, -1], params["lm_head"], cfg.act_int8).astype(jnp.float32)
         trie_state0 = jnp.zeros((b,), jnp.int32)
         rng_, krng = jax.random.split(rng)
@@ -170,7 +174,8 @@ def generate(params, cfg: L.LlamaConfig, input_ids, attention_mask, *,
              max_new_tokens: int, do_sample: bool = False,
              temperature: float = 1.0, rng: Optional[jax.Array] = None,
              trie: Optional[DenseTrie] = None,
-             prompt_bucket: int = 64, loop: str = "auto") -> jnp.ndarray:
+             prompt_bucket: int = 64, loop: str = "auto",
+             kv_int8: bool = False) -> jnp.ndarray:
     """Returns generated token ids [B, max_new_tokens] (pad after eos).
 
     input_ids/attention_mask: [B, L] left-padded prompt. Prompts are
@@ -207,12 +212,13 @@ def generate(params, cfg: L.LlamaConfig, input_ids, attention_mask, *,
         stm_key = None
     key = (cfg, b, bl, max_new_tokens, bool(do_sample), has_inject,
            stm_key, eos_id, pad_id,
-           trie.fingerprint if trie is not None else None, loop)
+           trie.fingerprint if trie is not None else None, loop,
+           bool(kv_int8))
     fn = _JIT_CACHE.get(key)
     if fn is None:
         fn = _build_decode_fn(cfg, max_new_tokens, eos_id, pad_id,
                               bool(do_sample), special_token_mask, trie,
-                              loop=loop)
+                              loop=loop, kv_int8=kv_int8)
         # bounded LRU: an eval epoch's tries are content-keyed so they
         # re-hit, but unbounded growth (each entry pins compiled
         # prefill/step executables) is still capped

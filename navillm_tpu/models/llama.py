@@ -208,6 +208,37 @@ def _mm(x: jnp.ndarray, w, a8: bool = False) -> jnp.ndarray:
     return x @ w
 
 
+def kv_quantize(x: jnp.ndarray):
+    """Symmetric int8 quantization of K/V over head_dim (last axis):
+    one fp32 scale per (…, token, head). head_dim=128 keeps the
+    reduction lane-aligned on the VPU. Returns (int8 values, scales
+    [..., 1] fp32)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def kv_dequantize(q: jnp.ndarray, s: jnp.ndarray, dtype) -> jnp.ndarray:
+    return q.astype(dtype) * s.astype(dtype)
+
+
+def kv_is_quantized(kv) -> bool:
+    return isinstance(kv, dict) and "ks" in kv
+
+
+def quantize_kv_stack(kv):
+    """Quantize a stacked K/V cache {"k","v"} [L, B, T, NKV, D] to
+    {"k","ks","v","vs"} (int8 values + fp32 per-token-per-head scales).
+    Halves the HBM residency of the read-only prompt/prefix caches —
+    the capacity lever for decode batch and streaming slot counts on a
+    16 GB chip."""
+    k, ks = kv_quantize(kv["k"])
+    v, vs = kv_quantize(kv["v"])
+    return {"k": k, "ks": ks, "v": v, "vs": vs}
+
+
 def embed_rows(embed, ids: jnp.ndarray) -> jnp.ndarray:
     """Embedding lookup for a dense or int8 row-quantized table
     (``{"q": int8 [V, H], "s": [V, 1]}``, per row)."""
@@ -318,11 +349,14 @@ def decode_step(params, cfg: LlamaConfig, inputs_embeds, prompt_kv,
                 prompt_mask, dec_cache, step_index, positions):
     """One-token decode step against (read-only prompt KV) + (carried
     decode-region KV). inputs_embeds [B, 1, H]; prompt_kv {"k","v"}
-    [L, B, T, NKV, D]; prompt_mask [B, T]; dec_cache {"k","v"}
+    [L, B, T, NKV, D] — or the int8 form {"k","ks","v","vs"} from
+    quantize_kv_stack (dequantized per layer at read; the tiny carried
+    decode region stays bf16); prompt_mask [B, T]; dec_cache {"k","v"}
     [L, B, N, NKV, D] written at step_index. positions [B, 1].
     Returns (hidden [B, 1, H], new dec_cache)."""
     b = inputs_embeds.shape[0]
     n_dec = dec_cache["k"].shape[2]
+    quant = kv_is_quantized(prompt_kv)
     cos, sin = rope_tables(cfg, positions)
     dec_mask = (jnp.arange(n_dec)[None, :] <= step_index)   # incl. current
     kv_mask = jnp.concatenate(
@@ -331,21 +365,30 @@ def decode_step(params, cfg: LlamaConfig, inputs_embeds, prompt_kv,
     x = inputs_embeds.astype(cfg.dtype)
 
     def body(x, layer_in):
-        lp, pk, pv, dk, dv = layer_in
+        if quant:
+            lp, pk, pks, pv, pvs, dk, dv = layer_in
+        else:
+            lp, pk, pv, dk, dv = layer_in
         q, k, v = _qkv(cfg, x, lp, cos, sin)
         dk = jax.lax.dynamic_update_slice(
             dk, k.astype(dk.dtype), (0, step_index, 0, 0))
         dv = jax.lax.dynamic_update_slice(
             dv, v.astype(dv.dtype), (0, step_index, 0, 0))
+        if quant:
+            pk = kv_dequantize(pk, pks, k.dtype)
+            pv = kv_dequantize(pv, pvs, v.dtype)
         keys = jnp.concatenate([pk, dk], axis=1)
         vals = jnp.concatenate([pv, dv], axis=1)
         attn = multi_head_attention(q, keys, vals, kv_mask=kv_mask,
                                     causal=False, impl="xla")
         return _post_attn(cfg, x, lp, attn), (dk, dv)
 
-    x, new_kv = jax.lax.scan(
-        body, x, (params["layers"], prompt_kv["k"], prompt_kv["v"],
-                  dec_cache["k"], dec_cache["v"]))
+    xs = ((params["layers"], prompt_kv["k"], prompt_kv["ks"],
+           prompt_kv["v"], prompt_kv["vs"], dec_cache["k"], dec_cache["v"])
+          if quant else
+          (params["layers"], prompt_kv["k"], prompt_kv["v"],
+           dec_cache["k"], dec_cache["v"]))
+    x, new_kv = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, {"k": new_kv[0], "v": new_kv[1]}
 
@@ -373,9 +416,16 @@ def chunk_forward_cached(params, cfg: LlamaConfig, inputs_embeds, prefix_kv,
     caller extends prefix_mask afterwards. Returns (hidden [B, S, H],
     updated prefix_kv) — prefix_kv passes through unchanged when
     write_offsets is None.
+
+    The cache may be int8-quantized ({"k","ks","v","vs"}; scales
+    [L, B, P, NKV, 1] fp32): reads dequantize per layer inside the
+    scan, appends quantize the window's K/V before the scatter. Halves
+    the cache's HBM residency (the streaming-eval slot-count ceiling
+    at 7B on 16 GB).
     """
     b, s, _ = inputs_embeds.shape
     p = prefix_kv["k"].shape[2]
+    quant = kv_is_quantized(prefix_kv)
     cos, sin = rope_tables(cfg, positions)
     pm = jnp.broadcast_to(prefix_mask[:, None, :], (b, s, p))
     qi = jnp.arange(s)[None, :, None]
@@ -394,27 +444,43 @@ def chunk_forward_cached(params, cfg: LlamaConfig, inputs_embeds, prefix_kv,
         wok = suffix_mask & (widx < p)
         bgrid = jnp.broadcast_to(jnp.arange(b)[:, None], (b, s))
 
+        def scatter(buf, new):
+            old = buf.at[bgrid, widx].get(mode="clip")
+            return buf.at[bgrid, widx].set(
+                jnp.where(wok[..., None, None], new.astype(buf.dtype), old),
+                mode="drop")
+
     def body(x, layer_in):
-        lp, pk, pv = layer_in
+        if quant:
+            lp, pk, pks, pv, pvs = layer_in
+        else:
+            lp, pk, pv = layer_in
         q, k, v = _qkv(cfg, x, lp, cos, sin)
         if write_offsets is not None:
-            old_k = pk.at[bgrid, widx].get(mode="clip")
-            old_v = pv.at[bgrid, widx].get(mode="clip")
-            pk = pk.at[bgrid, widx].set(
-                jnp.where(wok[..., None, None], k.astype(pk.dtype), old_k),
-                mode="drop")
-            pv = pv.at[bgrid, widx].set(
-                jnp.where(wok[..., None, None], v.astype(pv.dtype), old_v),
-                mode="drop")
-        keys = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
-        vals = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
+            if quant:
+                kq, ks_ = kv_quantize(k)
+                vq, vs_ = kv_quantize(v)
+                pk, pks = scatter(pk, kq), scatter(pks, ks_)
+                pv, pvs = scatter(pv, vq), scatter(pvs, vs_)
+            else:
+                pk, pv = scatter(pk, k), scatter(pv, v)
+        pkd = kv_dequantize(pk, pks, k.dtype) if quant else pk.astype(k.dtype)
+        pvd = kv_dequantize(pv, pvs, v.dtype) if quant else pv.astype(v.dtype)
+        keys = jnp.concatenate([pkd, k], axis=1)
+        vals = jnp.concatenate([pvd, v], axis=1)
         attn = multi_head_attention(q, keys, vals, kv_mask=kv_mask,
                                     causal=False, impl="xla")
-        return _post_attn(cfg, x, lp, attn), (pk, pv)
+        return _post_attn(cfg, x, lp, attn), \
+            ((pk, pks, pv, pvs) if quant else (pk, pv))
 
-    x, new_kv = jax.lax.scan(
-        body, x, (params["layers"], prefix_kv["k"], prefix_kv["v"]))
+    xs = ((params["layers"], prefix_kv["k"], prefix_kv["ks"],
+           prefix_kv["v"], prefix_kv["vs"]) if quant else
+          (params["layers"], prefix_kv["k"], prefix_kv["v"]))
+    x, new_kv = jax.lax.scan(body, x, xs)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if quant:
+        return x, {"k": new_kv[0], "ks": new_kv[1],
+                   "v": new_kv[2], "vs": new_kv[3]}
     return x, {"k": new_kv[0], "v": new_kv[1]}
 
 

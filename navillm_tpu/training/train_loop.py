@@ -133,7 +133,8 @@ def build_runner(args, cfg, logger=None, mesh_plan=None) -> NavModelRunner:
     return NavModelRunner(nav_cfg, params, tok,
                           feat_dropout=args.feat_dropout,
                           ignore_id=args.ignoreid, seed=args.seed,
-                          mesh_plan=mesh_plan)
+                          mesh_plan=mesh_plan,
+                          kv_int8=getattr(args, "kv_int8", False))
 
 
 def build_world_and_data(args, cfg, training: bool, stage: str, world=None,

@@ -138,6 +138,11 @@ class TrainArgs:
     # bf16 compute rate on v5e). Slightly lossier than weight-only;
     # opt-in for compute-bound eval (large-batch prefill).
     act_int8: bool = False
+    # int8 storage for the streaming-eval prompt-prefix KV cache
+    # (per-token-per-head fp32 scales, models/llama.py:kv_quantize):
+    # halves the cache's HBM residency — the slot-count ceiling at 7B
+    # on 16 GB — at a small attention-precision cost. Opt-in for eval.
+    kv_int8: bool = False
     # fused whole-trajectory teacher-forcing training (one LLM call per
     # trajectory instead of per step; same gradients — SURVEY.md §7.1)
     fused_teacher: bool = True
