@@ -197,6 +197,59 @@ def test_streaming_eval_kv8_trajectory_agreement(train_args, task_config,
     assert same >= 0.9 * len(preds_f), (same, len(preds_f))
 
 
+def test_streaming_eval_w8a8_prefix_kv8_composes(train_args, task_config,
+                                                 data_dir):
+    """The full 7B-eval headline configuration — int8 weights + int8
+    activations (W8A8) + prefix cache + int8 KV cache — composes on the
+    streaming path: covers every episode and stays trajectory-compatible
+    with the weight-only/bf16-cache run."""
+    import dataclasses
+    from navillm_tpu.agents import load_agent
+    from navillm_tpu.agents.runner import NavModelRunner, RolloutDims
+    from navillm_tpu.data.datasets import load_dataset
+    from navillm_tpu.data.feature_db import SyntheticImageFeaturesDB
+    from navillm_tpu.data.loaders import Dataloader
+    from navillm_tpu.models.tokenization import NavTokenizer
+    from navillm_tpu.models import quant as Q
+    from navillm_tpu.sim import WorldModel
+    from navillm_tpu.utils.config import ConfigDict
+
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    qparams = Q.quantize_nav_params(params)
+    optim_cfg = ConfigDict({"Optim": {"val_max_action_len": {"R2R": 5}}})
+
+    args = train_args
+    args.image_feat_size = cfg.pano.image_feat_size
+    args.obj_feat_size = cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    args.prefix_cache = True
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
+
+    def run_eval(c, kv_int8):
+        args.kv_int8 = kv_int8
+        runner = NavModelRunner(c, qparams, tok, dims=RolloutDims.tiny())
+        agent = load_agent("r2r", args, world, runner)
+        preds = agent.validate_streaming(
+            "R2R", args, optim_cfg, Dataloader(ds, 2, shuffle=False),
+            dataset=ds)
+        return {p_["instr_id"]: p_["trajectory"] for p_ in preds}
+
+    base = run_eval(cfg, kv_int8=False)          # weight-only, bf16 cache
+    cfg8 = NM.NavModelConfig(
+        llm=dataclasses.replace(cfg.llm, act_int8=True), pano=cfg.pano)
+    headline = run_eval(cfg8, kv_int8=True)      # W8A8 + kv8
+    assert base.keys() == headline.keys() == {
+        x["instr_id"] for x in ds.alldata}
+    same = sum(base[k] == headline[k] for k in base)
+    # two stacked int8 noise sources: still strong-majority identical
+    assert same >= 0.8 * len(base), (same, len(base))
+
+
 def test_prefix_cache_enabled_kv8_budget():
     """kv_int8 halves the cache budget: a (batch, max_prefix) that is
     rejected in bf16 at 7B-ish scale must be admitted with kv_int8."""
