@@ -102,6 +102,25 @@ def test_run_training_end_to_end(train_args, data_dir, tmp_path):
     assert checkpoint_exists(tmp_path / "latest")
 
 
+def test_checkpoint_quantized_tree_roundtrip(tmp_path):
+    """An int8-quantized eval tree (q int8 + per-channel scales + bf16
+    non-LLM modules) survives save/load bit-exactly — the 7B eval
+    startup path: quantize the converted checkpoint once, reload the
+    ~6.8 GB int8 tree directly on later runs."""
+    cfg = NM.NavModelConfig.tiny(vocab_size=384)
+    p = NM.init_nav_params(jax.random.PRNGKey(0), cfg, quantize_llm=True)
+    assert isinstance(p["llm"]["lm_head"], dict)   # actually quantized
+    save_checkpoint(tmp_path / "ck", p)
+    fresh = NM.init_nav_params(jax.random.PRNGKey(1), cfg,
+                               quantize_llm=True)
+    loaded, _, _ = load_checkpoint(tmp_path / "ck", fresh)
+    la, lb = jax.tree.leaves(p), jax.tree.leaves(loaded)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_orbax_backend(tmp_path):
     import pytest as _pytest
     _pytest.importorskip("orbax.checkpoint")
