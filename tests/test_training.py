@@ -102,6 +102,44 @@ def test_run_training_end_to_end(train_args, data_dir, tmp_path):
     assert checkpoint_exists(tmp_path / "latest")
 
 
+def test_run_training_pretrain_stage(train_args, data_dir, tmp_path):
+    """stage=pretrain end-to-end: trains from cfg.Pretrain's mixture and
+    writes the periodic pretrain_{epoch} checkpoint (reference
+    train.py's pretrain branch: periodic saves keyed by
+    save_ckpt_per_epochs, retention logic reserved for multi)."""
+    args = train_args
+    args.stage = "pretrain"
+    args.output_dir = str(tmp_path)
+    args.num_epochs = 1
+    args.num_steps_per_epoch = 2
+    args.gradient_accumulation_step = 2
+    args.batch_size = 1
+    args.val_batch_size = 2
+    args.save_ckpt_per_epochs = 1
+    args.max_saved_checkpoints = 1
+    args.image_feat_size = 32
+    args.obj_feat_size = 16
+
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    nav_cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), nav_cfg)
+    runner = NavModelRunner(nav_cfg, params, tok, dims=RolloutDims.tiny())
+
+    cfg = _full_cfg()
+    cfg["Pretrain"] = {"SOURCE": ["R2R"], "Ratio": [1], "LOSS_COEF": {}}
+    world = WorldModel(str(data_dir / "connectivity"))
+    feat_dbs = {"mp3d": SyntheticImageFeaturesDB(32)}
+
+    before = np.asarray(jax.tree.leaves(runner.params)[0]).copy()
+    run_training(args, cfg, logger=None, world=world,
+                 feat_dbs=feat_dbs, obj_feat_dbs={}, runner=runner)
+    after = np.asarray(jax.tree.leaves(runner.params)[0])
+    assert not np.allclose(before, after)
+    # pretrain saves pretrain_{epoch}, NOT the multi-stage epoch_{n}
+    assert checkpoint_exists(tmp_path / "pretrain_0")
+    assert not checkpoint_exists(tmp_path / "epoch_0")
+
+
 def test_checkpoint_quantized_tree_roundtrip(tmp_path):
     """An int8-quantized eval tree (q int8 + per-channel scales + bf16
     non-LLM modules) survives save/load bit-exactly — the 7B eval
