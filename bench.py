@@ -58,9 +58,23 @@ def _scale_tag(args) -> str:
     base = "Vicuna-7B dims" if args.model == "7b" else "1.3B proxy"
     if _use_quant(args):
         base += " int8-w8a8" if _use_a8(args) else " int8"
-    if getattr(args, "kv8", False):
+    if _kv8_engaged(args):
         base += " kv8"
     return base
+
+
+def _kv8_engaged(args) -> bool:
+    """--kv8 actually takes effect only where an int8 K/V cache exists:
+    the decode prompt stack (decode mode) and the rollout prefix cache
+    (rollout mode WITH --prefix_cache). Training modes and uncached
+    rollouts ignore it — labeling them 'kv8' would record a non-kv8
+    measurement as a kv8 point in an A/B sweep."""
+    if not getattr(args, "kv8", False):
+        return False
+    if args.mode == "decode":
+        return True
+    return args.mode == "rollout" and bool(getattr(args, "prefix_cache",
+                                                   False))
 
 
 def _use_quant(args) -> bool:
@@ -490,10 +504,7 @@ def bench_all(args):
     anchors = {}
     t0 = time.perf_counter()
     budget = float(os.environ.get("NAVILLM_BENCH_BUDGET_S", "2700"))
-    try:   # a stale partial from an earlier run must not leak into
-        Path("BENCH_PARTIAL.json").unlink()   # this run's watchdog dump
-    except OSError:
-        pass
+    _unlink_partial()   # belt-and-braces; main() already cleared it
 
     def run(mode, model, **overrides):
         if anchors and time.perf_counter() - t0 > budget:
@@ -535,6 +546,17 @@ def bench_all(args):
                                    "vs_baseline": 0.0}
     out["anchors"] = {k: v for k, v in anchors.items() if v is not None}
     return out
+
+
+def _unlink_partial():
+    """Remove a stale BENCH_PARTIAL.json. Must happen BEFORE the
+    watchdog is armed: if calibration wedges on a dead relay with a
+    previous run's partial still on disk, fire() would promote LAST
+    run's anchors as this run's result."""
+    try:
+        Path("BENCH_PARTIAL.json").unlink()
+    except OSError:
+        pass
 
 
 def _arm_watchdog(deadline_s: float):
@@ -627,6 +649,7 @@ def main():
     watchdog = None
     if not args.debug and args.mode == "all":
         import os
+        _unlink_partial()   # before arming, so fire() can't read a stale partial
         watchdog = _arm_watchdog(
             float(os.environ.get("NAVILLM_BENCH_DEADLINE_S", "5400")))
     cal = None

@@ -483,11 +483,14 @@ class MP3DAgent:
                                        train_ml=train_ml,
                                        metrics=metrics, **kwargs)
         else:
+            # dagger_streams=1 is the honest serial baseline: take the
+            # plain rollout path rather than silently coercing to 2
+            n_streams = max(1, int(getattr(args, "dagger_streams", 2)))
             pipeline = (getattr(args, "dagger_pipeline", True)
                         and getattr(self.runner, "device_memory", True)
+                        and n_streams >= 2
                         and len(batch["observations"]) >= 4)
             if pipeline:
-                n_streams = max(2, int(getattr(args, "dagger_streams", 2)))
                 loss, _ = self.rollout_interleaved(
                     args, name, config.Optim,
                     _split_batch_dict(batch, n_streams),

@@ -221,7 +221,10 @@ def kv_quantize(x: jnp.ndarray):
 
 
 def kv_dequantize(q: jnp.ndarray, s: jnp.ndarray, dtype) -> jnp.ndarray:
-    return q.astype(dtype) * s.astype(dtype)
+    # multiply in the scale dtype (fp32) and round ONCE to the compute
+    # dtype — casting s to bf16 first would double the dequant error
+    # the fp32 scale storage exists to avoid
+    return (q.astype(s.dtype) * s).astype(dtype)
 
 
 def kv_is_quantized(kv) -> bool:

@@ -200,8 +200,12 @@ class NavTokenizer:
         # BPE encoding is host-side pure-Python work on the rollout
         # hot path. Keyed by (text, add_bos); values are immutable
         # tuples so cache hits cannot be corrupted by callers.
+        # 8192 entries x ~4 KB bounds residency at ~32 MB; very long
+        # texts (DAgger training prompts with sampled growing history)
+        # are near-unique keys that would only evict useful entries,
+        # so they bypass the cache (_ENCODE_CACHE_MAX_CHARS).
         import functools
-        self._encode_cached = functools.lru_cache(maxsize=65536)(
+        self._encode_cached = functools.lru_cache(maxsize=8192)(
             self._encode_uncached)
 
     @classmethod
@@ -219,7 +223,11 @@ class NavTokenizer:
         ids = self.backend.encode(text)
         return tuple([self.bos_id] + ids) if add_bos else tuple(ids)
 
+    _ENCODE_CACHE_MAX_CHARS = 4096
+
     def encode(self, text: str, add_bos: bool = True) -> List[int]:
+        if len(text) > self._ENCODE_CACHE_MAX_CHARS:
+            return list(self._encode_uncached(text, add_bos))
         return list(self._encode_cached(text, add_bos))
 
     def decode(self, ids, skip_special_tokens: bool = True) -> str:

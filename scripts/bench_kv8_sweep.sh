@@ -38,6 +38,7 @@ run decode_7b_kv8_48   --mode decode --model 7b --a8 --kv8 --batch 48
 run decode_7b_kv8_64   --mode decode --model 7b --a8 --kv8 --batch 64
 
 # --- proxy train_e2e: DAgger stream count -----------------------------
+run train_e2e_s1       --mode train_e2e --streams 1 --iters 20
 run train_e2e_s2       --mode train_e2e --iters 20
 run train_e2e_s3       --mode train_e2e --streams 3 --iters 20
 run train_e2e_s4       --mode train_e2e --streams 4 --iters 20

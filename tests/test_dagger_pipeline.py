@@ -196,6 +196,36 @@ def test_train_routes_sample_batches_through_pipeline(
     assert calls["plain"] == 1
 
 
+def test_train_streams1_is_the_serial_baseline(
+        train_args, task_config, data_dir, det_runner, optim_cfg,
+        monkeypatch):
+    """dagger_streams=1 must actually measure the serial path (plain
+    rollout), not be silently coerced to the 2-stream pipeline — the
+    --streams 1 bench point is the A/B control for the knob."""
+    args, ds, agent = _setup(train_args, task_config, data_dir, det_runner)
+    batch = next(iter(Dataloader(ds, batch_size=4, shuffle=False)))
+    cfg = ConfigDict({"Multi": {"LOSS_COEF": {"R2R": 1.0}},
+                      "Optim": optim_cfg.Optim})
+
+    calls = {"interleaved": 0, "plain": 0}
+    orig_i, orig_r = agent.rollout_interleaved, agent.rollout
+    monkeypatch.setattr(agent, "rollout_interleaved",
+                        lambda *a, **k: (calls.__setitem__(
+                            "interleaved", calls["interleaved"] + 1),
+                            orig_i(*a, **k))[1])
+    monkeypatch.setattr(agent, "rollout",
+                        lambda *a, **k: (calls.__setitem__(
+                            "plain", calls["plain"] + 1),
+                            orig_r(*a, **k))[1])
+
+    det_runner.zero_grads()
+    args.dagger_pipeline = True
+    args.dagger_streams = 1
+    loss = agent.train("R2R", batch, args, cfg, dataset=ds, step=1)
+    assert np.isfinite(float(loss))
+    assert calls["plain"] == 1 and calls["interleaved"] == 0
+
+
 def test_split_batch_dict_n_streams():
     batch = {"observations": list(range(10)), "env": list(range(10)),
              "item": list(range(10)), "data_type": ["r2r"] * 10,

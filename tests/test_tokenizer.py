@@ -118,3 +118,22 @@ def test_encode_lru_cache_hits_and_matches():
     # add_bos variants are distinct entries
     assert tok.encode("x", add_bos=False) == \
         tok.encode("x", add_bos=True)[1:]
+
+
+def test_encode_lru_bypasses_very_long_texts():
+    """Near-unique multi-KB DAgger training prompts must not fill the
+    LRU with dead entries: texts over the char threshold bypass the
+    cache entirely (same ids, no cache mutation)."""
+    from navillm_tpu.models.tokenization import NavTokenizer
+    tok = NavTokenizer.bpe(max_length=4096, pad_to_multiple=64)
+    long_text = "turn left at the lamp and continue " * 200
+    assert len(long_text) > tok._ENCODE_CACHE_MAX_CHARS
+    before = tok._encode_cached.cache_info()
+    ids1 = tok.encode(long_text)
+    ids2 = tok.encode(long_text)
+    after = tok._encode_cached.cache_info()
+    assert ids1 == ids2
+    assert after.currsize == before.currsize  # never entered the cache
+    # short texts still cache
+    tok.encode("go forward")
+    assert tok._encode_cached.cache_info().currsize == before.currsize + 1
