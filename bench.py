@@ -57,7 +57,10 @@ def _scale_tag(args) -> str:
         return "debug-tiny"
     base = "Vicuna-7B dims" if args.model == "7b" else "1.3B proxy"
     if _use_quant(args):
-        base += " int8-w8a8" if _use_a8(args) else " int8"
+        if _quant_bits(args) == 4:
+            base += " int4-w4a8" if _use_a8(args) else " int4"
+        else:
+            base += " int8-w8a8" if _use_a8(args) else " int8"
     if _kv8_engaged(args):
         base += " kv8"
     return base
@@ -84,6 +87,13 @@ def _use_quant(args) -> bool:
     if args.quant is not None:
         return args.quant
     return args.model == "7b" and args.mode in ("rollout", "decode")
+
+
+def _quant_bits(args) -> int:
+    """--w4: group-wise int4 layer matmuls (models/quant.py GROUP4)
+    instead of per-channel int8 — halves weight HBM again on the
+    HBM-bound eval paths. Embed/lm_head stay int8 either way."""
+    return 4 if getattr(args, "w4", False) else 8
 
 
 def _use_a8(args) -> bool:
@@ -208,7 +218,8 @@ def _rollout_world(args, cfg, n_slots):
     # quantized init is incremental: the dense 7B tree never exists in
     # full (init-then-quantize peaks ~20 GB and OOMs the 16 GB chip)
     params = NM.init_nav_params(jax.random.PRNGKey(0), cfg,
-                                quantize_llm=_use_quant(args))
+                                quantize_llm=_use_quant(args),
+                                quant_bits=_quant_bits(args))
     # max_prefix: byte prompts cache <=~300 prefix tokens, BPE <=~130;
     # right-sizing the per-stream KV cache is what lets 7B int8 +
     # prefix cache fit 16 GB
@@ -389,7 +400,8 @@ def bench_decode(args):
     cfg = _model(args.debug, args.model, _use_a8(args)).llm
     if _use_quant(args):
         from navillm_tpu.models.quant import init_params_quantized
-        params = init_params_quantized(jax.random.PRNGKey(0), cfg)
+        params = init_params_quantized(jax.random.PRNGKey(0), cfg,
+                                       bits=_quant_bits(args))
     else:
         params = L.init_params(jax.random.PRNGKey(0), cfg)
     # 7B throughput sweep (W8A8, r3): b=8 -> 359, b=16 -> 544,
@@ -623,6 +635,10 @@ def main():
     ap.add_argument("--a8", action="store_true",
                     help="W8A8: int8 activations on top of --quant so "
                          "matmuls run int8xint8 on the MXU (eval only)")
+    ap.add_argument("--w4", action="store_true",
+                    help="group-wise int4 layer-matmul weights (on top "
+                         "of --quant): 7B LLM ~6.8 -> ~3.3 GB, freeing "
+                         "HBM for slots/KV on the eval paths")
     ap.add_argument("--kv8", action="store_true",
                     help="int8 KV caches (rollout prefix cache + decode "
                          "prompt stack): half the HBM residency, so "

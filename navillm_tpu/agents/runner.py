@@ -96,9 +96,11 @@ class NavModelRunner:
         self.kv_int8 = kv_int8
         if mesh_plan is not None:
             from ..parallel.mesh import nav_param_specs, shard_params
-            quantized = isinstance(params["llm"].get("lm_head"), dict)
+            from ..models.quant import is_quantized, weight_bits
+            quantized = is_quantized(params)
+            bits = weight_bits(params) if quantized else 8
             params = shard_params(params, nav_param_specs(
-                cfg, quantized=quantized), mesh_plan)
+                cfg, quantized=quantized, bits=bits), mesh_plan)
         self.params = params
         self._build_fns()
 
@@ -682,8 +684,10 @@ class NavModelRunner:
         bytes_needed = n_caches * int(2 * c.num_layers * batch * max_prefix
                                       * c.num_kv_heads * c.head_dim
                                       * itemsize)
-        params_bytes = sum(x.size * x.dtype.itemsize
-                           for x in jax.tree.leaves(self.params))
+        # XLA stores s4 packed two-per-byte on TPU; host itemsize says 1
+        params_bytes = int(sum(
+            x.size * (0.5 if str(x.dtype) == "int4" else x.dtype.itemsize)
+            for x in jax.tree.leaves(self.params)))
         return self.device_memory and \
             (bytes_needed + params_bytes) < 12e9
 

@@ -98,7 +98,8 @@ def convert_hf_llama(hf_model, cfg: LlamaConfig) -> Dict[str, Any]:
 
 
 def load_vicuna(pretrained_model_name_or_path: str, vocab_size: int,
-                dtype=None, quantize: bool = False) -> tuple:
+                dtype=None, quantize: bool = False,
+                quant_bits: int = 8) -> tuple:
     """Load a local Vicuna/Llama checkpoint -> (LlamaConfig, params).
 
     Prefers the streaming safetensors path (no torch model
@@ -108,7 +109,8 @@ def load_vicuna(pretrained_model_name_or_path: str, vocab_size: int,
     quantize=True additionally converts the tree to int8 weight-only
     storage ON HOST (models/quant.py:quantize_host_llama) so only the
     ~6.8 GB int8 tree is uploaded — the eval deployment path for 7B on
-    16 GB chips.
+    16 GB chips. quant_bits=4 stores the layer matmuls as group-wise
+    int4 instead (~3.3 GB total with the int8 embed/lm_head).
     """
     import os
     import jax.numpy as jnp
@@ -125,7 +127,7 @@ def load_vicuna(pretrained_model_name_or_path: str, vocab_size: int,
         params = convert_hf_llama(hf, cfg)
     if quantize:
         from .quant import quantize_host_llama
-        params = quantize_host_llama(params)
+        params = quantize_host_llama(params, bits=quant_bits)
     return cfg, params
 
 

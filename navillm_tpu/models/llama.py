@@ -126,14 +126,18 @@ def init_params(rng: jax.Array, cfg: LlamaConfig) -> Dict[str, Any]:
     }
 
 
-def partition_specs(cfg: LlamaConfig, quantized: bool = False
-                    ) -> Dict[str, Any]:
+def partition_specs(cfg: LlamaConfig, quantized: bool = False,
+                    bits: int = 8) -> Dict[str, Any]:
     """PartitionSpecs over a ('data', 'model') mesh (megatron-style TP).
 
     With quantized=True the specs mirror the int8 structure from
     models/quant.py: the int8 tensor keeps the dense weight's spec and
     the per-output-channel scale shards on the same output axis (a
-    scale row is [..., 1, o], so its last axis follows the weight's)."""
+    scale row is [..., 1, o], so its last axis follows the weight's).
+    bits=4: the layer matmuls carry {"q4", "s"} with group scales
+    [L, h/G, o]; the int4 tensor keeps the dense spec and the scales
+    REPLICATE — they are ~1/256 of the weight bytes, and replication
+    sidesteps group-axis divisibility against arbitrary TP degrees."""
     specs = {
         "embed": P("model", None),
         "layers": {
@@ -161,12 +165,17 @@ def partition_specs(cfg: LlamaConfig, quantized: bool = False
         s[-2] = None
         return {"q": spec, "s": P(*s)}
 
+    def qspec4(spec: P):
+        return {"q4": spec, "s": P(*([None] * len(spec)))}
+
+    lq = qspec4 if bits == 4 else qspec
     quant_keys = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
     out = {
         "embed": {"q": specs["embed"], "s": P("model", None)},
-        "layers": {k: (qspec(v) if k in quant_keys else v)
+        "layers": {k: (lq(v) if k in quant_keys else v)
                    for k, v in specs["layers"].items()},
         "final_norm": specs["final_norm"],
+        # embed/lm_head are int8 at every bits setting (models/quant.py)
         "lm_head": qspec(specs["lm_head"]),
     }
     return out
@@ -197,8 +206,17 @@ def _mm(x: jnp.ndarray, w, a8: bool = False) -> jnp.ndarray:
     ~1.5x the bf16 rate (v5e runs int8 at 2x bf16 peak; the remainder
     is the quantize/rescale VPU work). Output error is bounded by the
     per-token scale: a 1/127 relative activation grid on top of the
-    1/127 weight grid."""
+    1/127 weight grid.
+
+    int4 weights (``{"q4": int4 [h, o], "s": [h/G, o]}``, group-wise —
+    models/quant.py) use a BLOCKWISE matmul because group scales cannot
+    post-multiply: y = sum_g (x_g @ q_g) * s_g. The int4 operand stays
+    packed in HBM (XLA s4: 0.5 byte/param); the per-group partials
+    [..., ng, o] are a small fp-accumulated transient contracted on the
+    VPU."""
     if isinstance(w, dict):
+        if "q4" in w:
+            return _mm4(x, w, a8)
         if a8:
             xq, sx = _act_q(x)
             y = jnp.matmul(xq, w["q"], preferred_element_type=jnp.int32)
@@ -206,6 +224,29 @@ def _mm(x: jnp.ndarray, w, a8: bool = False) -> jnp.ndarray:
                     * w["s"].astype(jnp.float32)).astype(x.dtype)
         return (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
     return x @ w
+
+
+def _mm4(x: jnp.ndarray, w, a8: bool) -> jnp.ndarray:
+    """Group-scaled int4 matmul: per-group partial dots, then an
+    s-weighted contraction over groups (no dequantized weight copy)."""
+    q4, s = w["q4"], w["s"]
+    ng, o = s.shape[-2], s.shape[-1]
+    g = q4.shape[-2] // ng
+    if a8:
+        xq, sx = _act_q(x)
+        xg = xq.reshape(*xq.shape[:-1], ng, g)
+        part = jnp.einsum("...nk,nko->...no", xg,
+                          q4.reshape(ng, g, o).astype(jnp.int8),
+                          preferred_element_type=jnp.int32)
+        y = jnp.einsum("...no,no->...o", part.astype(jnp.float32),
+                       s.astype(jnp.float32))
+        return (y * sx).astype(x.dtype)
+    xg = x.reshape(*x.shape[:-1], ng, g)
+    part = jnp.einsum("...nk,nko->...no", xg,
+                      q4.reshape(ng, g, o).astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum("...no,no->...o", part,
+                      s.astype(jnp.float32)).astype(x.dtype)
 
 
 def kv_quantize(x: jnp.ndarray):

@@ -48,11 +48,13 @@ class NavModelConfig:
 
 
 def init_nav_params(rng: jax.Array, cfg: NavModelConfig,
-                    quantize_llm: bool = False) -> Dict[str, Any]:
+                    quantize_llm: bool = False,
+                    quant_bits: int = 8) -> Dict[str, Any]:
     """quantize_llm=True builds the LLM subtree int8-quantized
     incrementally (models/quant.py:init_params_quantized) — same RNG
     stream, but the dense bf16 tree never exists in full (a 7B dense
-    init + post-hoc quantize peaks ~20 GB and OOMs a 16 GB chip)."""
+    init + post-hoc quantize peaks ~20 GB and OOMs a 16 GB chip).
+    quant_bits=4 stores the layer matmuls group-wise int4 instead."""
     h = cfg.hidden_size
     dt = cfg.llm.dtype
     k = iter(jax.random.split(rng, 10))
@@ -65,7 +67,8 @@ def init_nav_params(rng: jax.Array, cfg: NavModelConfig,
 
     if quantize_llm:
         from .quant import init_params_quantized
-        _init_llm = functools.partial(init_params_quantized, cfg=cfg.llm)
+        _init_llm = functools.partial(init_params_quantized, cfg=cfg.llm,
+                                      bits=quant_bits)
     else:
         _init_llm = functools.partial(L.init_params, cfg=cfg.llm)
     params = {

@@ -1,4 +1,4 @@
-"""Weight-only int8 quantization for the Llama backbone (eval path).
+"""Weight-only int8 / int4 quantization for the Llama backbone (eval path).
 
 The reference runs Vicuna-7B in bf16/fp16 (models/modified_lm.py:38-53,
 nav_model.py:46-47); 7B bf16 weights are ~13.5 GB of a v5e chip's 16 GB
@@ -21,6 +21,18 @@ Scale dtype: scales are STORED in the weight's original dtype (bf16 for
 7B) and the int8 grid is computed against that rounded scale, so the
 dequant `(x @ q) * s` uses exactly the scale the quantizer used — no
 quantize/dequantize scale mismatch.
+
+int4 (bits=4): the seven transformer-layer matmuls additionally support
+GROUP-WISE symmetric int4 (`{"q4": int4 [.., h, o], "s": [.., h/G, o]}`,
+G=128 rows of the reduction axis per scale — per-channel int4 alone is
+too lossy). XLA stores s4 packed two-per-byte on TPU, so 7B layer
+weights drop ~5.9 GB (int8) -> ~3.0 GB, freeing HBM for KV/slots on the
+HBM-bound eval paths. The embedding table and lm_head STAY int8 (logit
+fidelity; they are ~260 MB combined at 7B — not worth the accuracy
+risk). The matmul is blockwise so no dequantized copy materializes:
+`y[o] = sum_g (x_g @ q_g)[o] * s[g, o]` (models/llama.py:_mm). Eval
+only, like int8; accuracy contract in tests/test_quant.py (int4
+section).
 """
 from __future__ import annotations
 
@@ -30,6 +42,16 @@ import jax
 import jax.numpy as jnp
 
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+# int4 group size along the reduction axis. 128 divides every real
+# reduction dim (4096, 11008, 2048, 5504); for tiny test dims the
+# effective group is gcd(h, 128) so grouping always tiles exactly.
+GROUP4 = 128
+
+
+def _group4(h: int) -> int:
+    import math
+    return math.gcd(h, GROUP4)
 
 
 def _quant_one(w2d: jnp.ndarray, axis: int):
@@ -61,14 +83,41 @@ def _quant_embed(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "s": s}
 
 
-def _quantize_llama_impl(params: Dict[str, Any]) -> Dict[str, Any]:
+def _quant_one4(w2d: jnp.ndarray):
+    """Symmetric group-wise int4 of [h, o]: scales [h/G, o], values on
+    the ±7 grid computed against the STORED (dtype-rounded) scale."""
+    h, o = w2d.shape
+    g = _group4(h)
+    w32 = w2d.astype(jnp.float32).reshape(h // g, g, o)
+    amax = jnp.max(jnp.abs(w32), axis=1)                     # [ng, o]
+    s = (jnp.maximum(amax, 1e-8) / 7.0).astype(w2d.dtype)
+    q = jnp.clip(jnp.round(w32 / s[:, None, :].astype(jnp.float32)),
+                 -7, 7)
+    return q.reshape(h, o).astype(jnp.int4), s
+
+
+def _quant_weight4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[h, o] or layer-stacked [L, h, o] -> {"q4", "s"} (group scales
+    [..., h/G, o]); stacked weights quantize layer-at-a-time like the
+    int8 path to bound the fp32 transient."""
+    if w.ndim == 3:
+        q, s = jax.lax.map(_quant_one4, w)
+        return {"q4": q, "s": s}
+    q, s = _quant_one4(w)
+    return {"q4": q, "s": s}
+
+
+def _quantize_llama_impl(params: Dict[str, Any],
+                         bits: int = 8) -> Dict[str, Any]:
+    qw = _quant_weight4 if bits == 4 else _quant_weight
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
-        layers[k] = _quant_weight(layers[k])
+        layers[k] = qw(layers[k])
     return {
         "embed": _quant_embed(params["embed"]),
         "layers": layers,
         "final_norm": params["final_norm"],
+        # lm_head stays int8 even at bits=4 (logit fidelity)
         "lm_head": _quant_weight(params["lm_head"]),
     }
 
@@ -80,13 +129,16 @@ def _quantize_llama_impl(params: Dict[str, Any]) -> Dict[str, Any]:
 # 16 GB chip. For trees that do not comfortably fit twice, use
 # init_params_quantized (random init) or quantize tensors one at a time
 # during checkpoint conversion.
-quantize_llama_params = jax.jit(_quantize_llama_impl, donate_argnums=0)
+quantize_llama_params = jax.jit(_quantize_llama_impl, donate_argnums=0,
+                                static_argnums=1)
 
 _quant_weight_jit = jax.jit(_quant_weight, donate_argnums=0)
+_quant_weight4_jit = jax.jit(_quant_weight4, donate_argnums=0)
 _quant_embed_jit = jax.jit(_quant_embed, donate_argnums=0)
 
 
-def init_params_quantized(rng: jax.Array, cfg) -> Dict[str, Any]:
+def init_params_quantized(rng: jax.Array, cfg,
+                          bits: int = 8) -> Dict[str, Any]:
     """Random-init an ALREADY-quantized Llama tree, one weight at a
     time: each bf16 weight is sampled, quantized by a donated jit, and
     dropped before the next is created. Peak HBM ≈ int8 tree (~6.8 GB
@@ -108,7 +160,8 @@ def init_params_quantized(rng: jax.Array, cfg) -> Dict[str, Any]:
         del w
         return q
 
-    layers = {k: make(keys[j + 1], spec["layers"][k], _quant_weight_jit)
+    layer_q = _quant_weight4_jit if bits == 4 else _quant_weight_jit
+    layers = {k: make(keys[j + 1], spec["layers"][k], layer_q)
               for j, k in enumerate(layer_keys)}
     layers["attn_norm"] = jnp.ones((Ln, h), cfg.dtype)
     layers["mlp_norm"] = jnp.ones((Ln, h), cfg.dtype)
@@ -120,7 +173,8 @@ def init_params_quantized(rng: jax.Array, cfg) -> Dict[str, Any]:
     }
 
 
-def quantize_host_llama(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_host_llama(params: Dict[str, Any],
+                        bits: int = 8) -> Dict[str, Any]:
     """Quantize a HOST (numpy) Llama tree in place — the post-
     checkpoint-conversion path: load_vicuna_streaming returns numpy
     bf16 leaves (models/convert.py:136), quantizing them on host means
@@ -148,26 +202,59 @@ def quantize_host_llama(params: Dict[str, Any]) -> Dict[str, Any]:
         q, s = q2d(w, axis=axis)
         return {"q": q, "s": s}
 
+    def q2d4(w2d):
+        from ml_dtypes import int4 as np_int4
+        h, o = w2d.shape
+        g = _group4(h)
+        w32 = np.asarray(w2d, np.float32).reshape(h // g, g, o)
+        amax = np.max(np.abs(w32), axis=1)
+        s = (np.maximum(amax, 1e-8) / 7.0).astype(w2d.dtype)
+        q = np.clip(np.round(w32 / s[:, None, :].astype(np.float32)),
+                    -7, 7)
+        return q.reshape(h, o).astype(np_int4), s
+
+    def qw4(w):
+        from ml_dtypes import int4 as np_int4
+        if w.ndim == 3:   # layer-stacked: bound the fp32 copy to 1 layer
+            g = _group4(w.shape[1])
+            q = np.empty(w.shape, np_int4)
+            s = np.empty((w.shape[0], w.shape[1] // g, w.shape[2]),
+                         w.dtype)
+            for l in range(w.shape[0]):
+                q[l], s[l] = q2d4(w[l])
+            return {"q4": q, "s": s}
+        q, s = q2d4(w)
+        return {"q4": q, "s": s}
+
     layers = params["layers"]
     for k in _QUANT_KEYS:
         w = layers.pop(k)
-        layers[k] = qw(w, axis=-2)
+        layers[k] = qw4(w) if bits == 4 else qw(w, axis=-2)
         del w
     for k, axis in (("embed", -1), ("lm_head", -2)):
         w = params.pop(k)
-        params[k] = qw(w, axis=axis)
+        params[k] = qw(w, axis=axis)   # int8 at every bits setting
         del w
     return params
 
 
-def quantize_nav_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_nav_params(params: Dict[str, Any],
+                        bits: int = 8) -> Dict[str, Any]:
     """Quantize only the LLM subtree of a NavModel param tree; the
     panorama encoder / heads (<1% of params) stay in bf16."""
     out = dict(params)
-    out["llm"] = quantize_llama_params(params["llm"])
+    out["llm"] = quantize_llama_params(params["llm"], bits)
     return out
 
 
 def is_quantized(params: Dict[str, Any]) -> bool:
     tree = params.get("llm", params)
     return isinstance(tree.get("lm_head"), dict)
+
+
+def weight_bits(params: Dict[str, Any]) -> int:
+    """16 (dense), 8, or 4 — inferred from the layer-matmul storage."""
+    tree = params.get("llm", params)
+    if not is_quantized(tree):
+        return 16
+    return 4 if "q4" in tree["layers"]["wq"] else 8

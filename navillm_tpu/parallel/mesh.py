@@ -76,7 +76,8 @@ def shard_params(params: Dict[str, Any], specs: Dict[str, Any],
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def nav_param_specs(nav_cfg, quantized: bool = False) -> Dict[str, Any]:
+def nav_param_specs(nav_cfg, quantized: bool = False,
+                    bits: int = 8) -> Dict[str, Any]:
     """PartitionSpecs for the full NavModel param tree: LLM sharded per
     llama.partition_specs, pano encoder + heads replicated (they are
     <1% of the params; replication avoids tiny-matmul collectives).
@@ -86,4 +87,5 @@ def nav_param_specs(nav_cfg, quantized: bool = False) -> Dict[str, Any]:
     lookup misses and the whole quantized LLM replicates, forfeiting
     the TP memory win (models/quant.py)."""
     from ..models import llama as L
-    return {"llm": L.partition_specs(nav_cfg.llm, quantized=quantized)}
+    return {"llm": L.partition_specs(nav_cfg.llm, quantized=quantized,
+                                     bits=bits)}

@@ -101,7 +101,8 @@ def build_runner(args, cfg, logger=None, mesh_plan=None) -> NavModelRunner:
             from ..models.convert import load_vicuna
             llm_cfg, llm_params = load_vicuna(
                 args.pretrained_model_name_or_path, tok.vocab_size,
-                dtype=dtype, quantize=quantize)
+                dtype=dtype, quantize=quantize,
+                quant_bits=getattr(args, "quant_bits", 8))
     else:
         tok = NavTokenizer()
         llm_cfg = L.LlamaConfig.tiny(vocab_size=tok.vocab_size)

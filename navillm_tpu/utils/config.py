@@ -133,6 +133,11 @@ class TrainArgs:
     # uploads only the ~6.8 GB int8 tree — the 7B-on-16GB deployment
     # path. Rejected for training modes (int8 is not differentiable).
     quantize_llm: bool = False
+    # bit width for --quantize_llm: 8 (per-output-channel int8, the
+    # accuracy headline) or 4 (group-wise int4 layer matmuls, ~3.3 GB
+    # at 7B — the capacity lever; embed/lm_head stay int8). See
+    # models/quant.py.
+    quant_bits: int = 8
     # W8A8 on top of --quantize_llm: dynamic per-token int8 activation
     # quantization so matmuls run int8xint8 natively on the MXU (~1.5x
     # bf16 compute rate on v5e). Slightly lossier than weight-only;

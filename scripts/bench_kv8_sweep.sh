@@ -31,11 +31,24 @@ run rollout_7b_kv8_16  --mode rollout --model 7b --prefix_cache --a8 --kv8 --ite
 run rollout_7b_kv8_20  --mode rollout --model 7b --prefix_cache --a8 --kv8 --batch 20 --iters 20
 run rollout_7b_kv8_24  --mode rollout --model 7b --prefix_cache --a8 --kv8 --batch 24 --iters 20
 
+# --- 7B streaming rollout: int4 weights (capacity A/B) ----------------
+# w4 frees ~3.5 GB vs int8 -> try the slot counts HBM pressure denied;
+# accuracy contract is looser (tests/test_quant4.py) so adopt only as
+# a documented capacity option, never as the accuracy headline.
+run rollout_7b_w4_16   --mode rollout --model 7b --prefix_cache --a8 --w4 --iters 20
+run rollout_7b_w4_24   --mode rollout --model 7b --prefix_cache --a8 --w4 --batch 24 --iters 20
+run rollout_7b_w4_32   --mode rollout --model 7b --prefix_cache --a8 --w4 --batch 32 --iters 20
+
 # --- 7B decode: kv8 A/B + batch sweep ---------------------------------
 run decode_7b_base     --mode decode --model 7b --a8
 run decode_7b_kv8_32   --mode decode --model 7b --a8 --kv8
 run decode_7b_kv8_48   --mode decode --model 7b --a8 --kv8 --batch 48
 run decode_7b_kv8_64   --mode decode --model 7b --a8 --kv8 --batch 64
+
+# --- 7B decode: int4 weights (HBM-bound weight reads halve again) ------
+run decode_7b_w4_8     --mode decode --model 7b --a8 --w4 --batch 8
+run decode_7b_w4_32    --mode decode --model 7b --a8 --w4
+run decode_7b_w4_64    --mode decode --model 7b --a8 --w4 --kv8 --batch 64
 
 # --- proxy train_e2e: DAgger stream count -----------------------------
 run train_e2e_s1       --mode train_e2e --streams 1 --iters 20

@@ -44,6 +44,12 @@ def test_scale_tag_headline_forms():
         == "Vicuna-7B dims int8-w8a8 kv8"
     assert bench._scale_tag(_args(model="proxy", mode="train_e2e")) \
         == "1.3B proxy"
+    # int4 weights get their own tag so sweep points are unambiguous
+    assert bench._scale_tag(_args(model="7b", quant=True, w4=True)) \
+        == "Vicuna-7B dims int4"
+    assert bench._scale_tag(_args(model="7b", quant=True, w4=True,
+                                  a8=True)) \
+        == "Vicuna-7B dims int4-w4a8"
 
 
 def test_stale_partial_is_cleared_before_watchdog(tmp_path, monkeypatch):

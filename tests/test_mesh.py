@@ -271,6 +271,55 @@ def test_mesh_streaming_eval_kv8_prefix_cache_matches_single_device(
         "kv8 prefix-cache sharded eval diverged from single-device"
 
 
+def test_mesh_streaming_eval_int4_matches_single_device(
+        train_args, task_config, data_dir):
+    """int4 (group-scaled, quant_bits=4) streaming eval on the
+    dp=4 x tp=2 mesh reproduces the single-device int4 trajectories —
+    validates the blockwise int4 matmul under GSPMD: the s4 tensor
+    TP-splits, the replicated group scales slice locally, and the
+    h-sharded weights' group contraction psums correctly."""
+    from navillm_tpu.agents import load_agent
+    from navillm_tpu.data.datasets import load_dataset
+    from navillm_tpu.data.feature_db import SyntheticImageFeaturesDB
+    from navillm_tpu.data.loaders import Dataloader
+    from navillm_tpu.utils.config import ConfigDict
+    from navillm_tpu.sim import WorldModel
+
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg,
+                                quantize_llm=True, quant_bits=4)
+    args = train_args
+    args.image_feat_size = cfg.pano.image_feat_size
+    args.obj_feat_size = cfg.pano.obj_feat_size
+    args.val_batch_size = 4
+    optim_cfg = ConfigDict({"Optim": {"val_max_action_len": {"R2R": 5},
+                                      "train_max_action_len": {"R2R": 4}}})
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
+
+    def run(mesh_plan):
+        runner = NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny(),
+                                mesh_plan=mesh_plan, seed=7)
+        agent = load_agent("r2r", args, world, runner)
+        loader = Dataloader(ds, batch_size=4, shuffle=False)
+        ctx = mesh_plan.mesh if mesh_plan is not None else \
+            __import__("contextlib").nullcontext()
+        with ctx:
+            preds = agent.validate_streaming("R2R", args, optim_cfg, loader,
+                                             dataset=ds)
+        return {p["instr_id"]: p["trajectory"] for p in preds}
+
+    single = run(None)
+    sharded = run(make_mesh(dp_size=4, tp_size=2))
+    assert set(single) == set(sharded) == {
+        x["instr_id"] for x in ds.alldata}
+    assert single == sharded, \
+        "int4 sharded eval diverged from single-device"
+
+
 def test_mesh_fused_teacher_step(train_args, task_config, data_dir):
     """The flagship fused-teacher training path stays data-parallel on a
     dp=4 x tp=2 mesh: T*B rows get padded to a dp multiple, no array
