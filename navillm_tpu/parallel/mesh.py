@@ -76,6 +76,45 @@ def shard_params(params: Dict[str, Any], specs: Dict[str, Any],
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def zero1_shard_opt_state(opt_state, plan: MeshPlan,
+                          min_size: int = 1 << 16):
+    """ZeRO-1 optimizer-state sharding (Rajbhandari et al. 2019): every
+    large optimizer-state leaf gains a 'data'-axis shard on its first
+    unsharded dp-divisible axis, on TOP of whatever 'model' sharding it
+    inherited from its parameter at tx.init. Params and grads stay
+    dp-replicated (plain DDP semantics, loss-equal); only the Adam
+    m/v moments — 2x the param bytes, the largest training-state
+    tensor — split dp ways. XLA then computes each update shard locally
+    and all-gathers the applied updates (the pinned out_shardings in
+    make_opt_step force that schedule), which is the same per-step
+    'data'-axis traffic DDP's gradient all-reduce already pays.
+
+    At 7B / dp=4 x tp=2 this is what makes the training state fit a
+    v5e-8: moments drop 27 GB replicated -> ~3.4 GB per chip.
+
+    Small leaves (step counters, scalar schedules) replicate on the
+    mesh — they must still move to a mesh-wide sharding so the jitted
+    opt_step has one consistent device set."""
+    if plan is None or plan.dp_size <= 1:
+        return opt_state
+
+    def place(x):
+        if not hasattr(x, "shape"):
+            return x
+        spec = [None] * x.ndim
+        s = getattr(x, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh.shape == plan.mesh.shape:
+            spec = list(s.spec) + [None] * (x.ndim - len(s.spec))
+        if x.size >= min_size:
+            for i, (name, dim) in enumerate(zip(spec, x.shape)):
+                if name is None and dim % plan.dp_size == 0 and dim > 1:
+                    spec[i] = "data"
+                    break
+        return jax.device_put(x, NamedSharding(plan.mesh, P(*spec)))
+
+    return jax.tree.map(place, opt_state)
+
+
 def nav_param_specs(nav_cfg, quantized: bool = False,
                     bits: int = 8) -> Dict[str, Any]:
     """PartitionSpecs for the full NavModel param tree: LLM sharded per

@@ -162,12 +162,27 @@ def build_agents(args, sources, world, runner) -> Dict[str, Any]:
             for src in sources}
 
 
-def make_opt_step(tx):
+def make_opt_step(tx, params=None, opt_state=None):
     # donation: params + opt state update in place — without it the
     # optimizer step transiently double-buffers ~3x the param bytes,
     # which is the margin between fitting and OOM for the 1.3B-proxy
     # fused-teacher recipe on a 16 GB chip
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    #
+    # Passing example (params, opt_state) pins out_shardings to their
+    # current placements. With a ZeRO-1 opt state
+    # (parallel/mesh.py:zero1_shard_opt_state) this is load-bearing:
+    # it forces GSPMD to keep the moments dp-SHARDED and the params
+    # dp-REPLICATED — each device computes its update shard, then the
+    # applied updates all-gather — instead of letting sharding
+    # propagation gather the moments (losing the memory win) or shard
+    # the params (breaking every downstream train/eval fn's layout).
+    kwargs = {}
+    if params is not None:
+        kwargs["out_shardings"] = (
+            jax.tree.map(lambda x: x.sharding, params),
+            jax.tree.map(lambda x: x.sharding, opt_state))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2), **kwargs)
     def opt_step(params, opt_state, grads):
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -302,8 +317,8 @@ def run_training(args, cfg, logger=None, world=None, feat_dbs=None,
         feat_dbs=feat_dbs, obj_feat_dbs=obj_feat_dbs, logger=logger,
         test_datasets=args.test_datasets)
 
-    runner = runner or build_runner(args, cfg, logger,
-                                    mesh_plan=build_mesh_plan(args, logger))
+    mesh_plan = build_mesh_plan(args, logger) if runner is None else None
+    runner = runner or build_runner(args, cfg, logger, mesh_plan=mesh_plan)
     train_agents = build_agents(args, train_loaders.keys(), world, runner)
     val_agents = build_agents(args, val_loaders.keys(), world, runner)
 
@@ -315,7 +330,16 @@ def run_training(args, cfg, logger=None, world=None, feat_dbs=None,
                             max(args.gradient_accumulation_step, 1), 0),
                         grad_clip_norm=args.grad_clip_norm)
     opt_state = tx.init(runner.params)
-    opt_step = make_opt_step(tx)
+    if mesh_plan is not None and mesh_plan.dp_size > 1 and \
+            getattr(args, "zero1", True):
+        from ..parallel.mesh import zero1_shard_opt_state
+        opt_state = zero1_shard_opt_state(opt_state, mesh_plan)
+        opt_step = make_opt_step(tx, runner.params, opt_state)
+        if logger is not None and args.rank == 0:
+            logger.info("ZeRO-1: optimizer moments sharded %d-way over "
+                        "the data axis" % mesh_plan.dp_size)
+    else:
+        opt_step = make_opt_step(tx)
 
     resume_from_epoch = 0
     if args.resume_from_checkpoint and \

@@ -148,6 +148,12 @@ class TrainArgs:
     # halves the cache's HBM residency — the slot-count ceiling at 7B
     # on 16 GB — at a small attention-precision cost. Opt-in for eval.
     kv_int8: bool = False
+    # ZeRO-1: shard the Adam moments over the data axis when dp>1
+    # (parallel/mesh.py:zero1_shard_opt_state). Loss-equal to plain
+    # DDP; moments are 2x the param bytes, so at 7B this is what makes
+    # the training state fit a v5e-8. On by default; --no... set False
+    # to keep fully-replicated optimizer state.
+    zero1: bool = True
     # fused whole-trajectory teacher-forcing training (one LLM call per
     # trajectory instead of per step; same gradients — SURVEY.md §7.1)
     fused_teacher: bool = True

@@ -79,6 +79,76 @@ def test_mesh_matches_single_device():
     assert abs(loss1 - loss2) < 1e-4 * max(1.0, abs(loss1))
 
 
+def test_zero1_opt_state_shards_and_matches_replicated():
+    """ZeRO-1 (parallel/mesh.py:zero1_shard_opt_state): the Adam
+    moments gain a 'data'-axis shard on top of their inherited tp
+    sharding, the pinned opt_step keeps params dp-replicated, and two
+    optimizer steps produce the same params as the fully-replicated
+    path — the memory plan that fits 7B training state on a v5e-8."""
+    from navillm_tpu.parallel.mesh import zero1_shard_opt_state
+    from navillm_tpu.training.optim import make_optimizer
+    from navillm_tpu.training.train_loop import make_opt_step
+
+    plan = make_mesh(dp_size=4, tp_size=2)
+    tok = NavTokenizer()
+    cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    runner = NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny(),
+                            mesh_plan=plan)
+    tx = make_optimizer(lr=1e-3, grad_clip_norm=40.0)
+
+    opt_rep = tx.init(runner.params)
+    opt_z1 = zero1_shard_opt_state(tx.init(runner.params), plan,
+                                   min_size=1024)
+
+    # the Adam moments (every params-shaped state leaf: mu and nu)
+    # shard over 'data' ON TOP of the inherited tp split: per-device
+    # shard = 1/8 of the tensor on the dp=4 x tp=2 mesh
+    full = runner.params["llm"]["layers"]["wq"].shape
+    moments = [l for l in jax.tree.leaves(opt_z1)
+               if getattr(l, "shape", None) == full]
+    assert len(moments) >= 2, "expected mu and nu wq-shaped leaves"
+    for m in moments:
+        per_dev = {s.data.size for s in m.addressable_shards}
+        assert per_dev == {int(np.prod(full)) // 8}, per_dev
+    # the baseline (dp-replicated, tp-split moments inherited from the
+    # params at tx.init) keeps 4x the per-device bytes
+    for m in [l for l in jax.tree.leaves(opt_rep)
+              if getattr(l, "shape", None) == full]:
+        assert {s.data.size for s in m.addressable_shards} == \
+            {int(np.prod(full)) // 2}
+
+    # two steps, synthetic grads: ZeRO-1 == replicated, params stay
+    # dp-replicated (same shard shapes as before the step)
+    def grads_like(seed):
+        key = jax.random.PRNGKey(seed)
+        leaves, treedef = jax.tree.flatten(runner.params)
+        return jax.tree.unflatten(treedef, [
+            (jax.random.normal(jax.random.fold_in(key, i), l.shape,
+                               jnp.float32) * 0.01).astype(l.dtype)
+            for i, l in enumerate(leaves)])
+
+    step_rep = make_opt_step(tx)
+    step_z1 = make_opt_step(tx, runner.params, opt_z1)
+    p_rep = jax.tree.map(jnp.copy, runner.params)
+    p_z1 = jax.tree.map(jnp.copy, runner.params)
+    for seed in (0, 1):
+        g = grads_like(seed)
+        with plan.mesh:
+            p_rep, opt_rep = step_rep(p_rep, opt_rep,
+                                      jax.tree.map(jnp.copy, g))
+            p_z1, opt_z1 = step_z1(p_z1, opt_z1,
+                                   jax.tree.map(jnp.copy, g))
+    wq_rep = np.asarray(p_rep["llm"]["layers"]["wq"], np.float32)
+    wq_z1 = np.asarray(p_z1["llm"]["layers"]["wq"], np.float32)
+    np.testing.assert_allclose(wq_z1, wq_rep, rtol=1e-5, atol=1e-7)
+    # params kept their original (dp-replicated, tp-split) layout
+    full = p_z1["llm"]["layers"]["wq"].shape
+    assert {s.data.shape
+            for s in p_z1["llm"]["layers"]["wq"].addressable_shards} \
+        == {(full[0], full[1], full[2] // 2)}
+
+
 def test_dp_pad_rows_keeps_data_parallel():
     """Row counts not divisible by dp are padded (loss-invariantly) rather
     than falling back to replicated placement (runner._dp_pad_rows)."""
