@@ -84,7 +84,13 @@ def _restore_into(tree, flat: Dict[str, np.ndarray], prefix: str, logger=None):
         key = prefix + SEP + SEP.join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
         if key in flat and flat[key].shape == leaf.shape:
-            return jax.numpy.asarray(flat[key], leaf.dtype)
+            restored = jax.numpy.asarray(flat[key], leaf.dtype)
+            # keep the live leaf's placement: under a mesh the tree is
+            # sharded (tp / ZeRO-1) and a default-device restore would
+            # both lose the layout and OOM at 7B
+            if hasattr(leaf, "sharding"):
+                restored = jax.device_put(restored, leaf.sharding)
+            return restored
         if key in flat:
             skipped.append((key, flat[key].shape, leaf.shape))
         return leaf

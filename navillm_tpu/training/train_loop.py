@@ -330,8 +330,19 @@ def run_training(args, cfg, logger=None, world=None, feat_dbs=None,
                             max(args.gradient_accumulation_step, 1), 0),
                         grad_clip_norm=args.grad_clip_norm)
     opt_state = tx.init(runner.params)
-    if mesh_plan is not None and mesh_plan.dp_size > 1 and \
-            getattr(args, "zero1", True):
+    zero1 = mesh_plan is not None and mesh_plan.dp_size > 1 and \
+        getattr(args, "zero1", True)
+
+    resume_from_epoch = 0
+    if args.resume_from_checkpoint and \
+            checkpoint_exists(args.resume_from_checkpoint):
+        runner.params, opt_state, resume_from_epoch = load_checkpoint(
+            args.resume_from_checkpoint, runner.params, opt_state, logger)
+
+    if zero1:
+        # applied AFTER a resume so the restored moments (placed like
+        # the live tx.init tree, checkpoints._restore_into) land
+        # directly in their dp-sharded layout
         from ..parallel.mesh import zero1_shard_opt_state
         opt_state = zero1_shard_opt_state(opt_state, mesh_plan)
         opt_step = make_opt_step(tx, runner.params, opt_state)
@@ -340,12 +351,6 @@ def run_training(args, cfg, logger=None, world=None, feat_dbs=None,
                         "the data axis" % mesh_plan.dp_size)
     else:
         opt_step = make_opt_step(tx)
-
-    resume_from_epoch = 0
-    if args.resume_from_checkpoint and \
-            checkpoint_exists(args.resume_from_checkpoint):
-        runner.params, opt_state, resume_from_epoch = load_checkpoint(
-            args.resume_from_checkpoint, runner.params, opt_state, logger)
 
     if args.mode == "test":
         return val_one_epoch(args, cfg, runner, val_loaders, val_agents,

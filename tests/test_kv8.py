@@ -286,3 +286,56 @@ def test_prefix_cache_enabled_kv8_budget():
                         * c.head_dim * (1 + 4 / c.head_dim))
     assert bytes_kv8 < 0.6 * bytes_bf16
     assert kv8 or not bf16   # kv8 is never MORE restrictive
+
+
+def test_streaming_eval_w4a8_prefix_kv8_composes(train_args, task_config,
+                                                 data_dir):
+    """The int4 CAPACITY configuration — group-int4 weights + int8
+    activations + prefix cache + int8 KV cache — composes on the
+    streaming path. Both runs share the same int4 policy, so the only
+    delta is the cache quantization: near-total trajectory agreement.
+    (int4-vs-bf16 accuracy itself is pinned, looser, in
+    tests/test_quant4.py.)"""
+    import dataclasses
+    from navillm_tpu.agents import load_agent
+    from navillm_tpu.agents.runner import NavModelRunner, RolloutDims
+    from navillm_tpu.data.datasets import load_dataset
+    from navillm_tpu.data.feature_db import SyntheticImageFeaturesDB
+    from navillm_tpu.data.loaders import Dataloader
+    from navillm_tpu.models.tokenization import NavTokenizer
+    from navillm_tpu.models import quant as Q
+    from navillm_tpu.sim import WorldModel
+    from navillm_tpu.utils.config import ConfigDict
+
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    cfg = NM.NavModelConfig.tiny(vocab_size=tok.vocab_size)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+    q4params = Q.quantize_nav_params(params, bits=4)
+    cfg = NM.NavModelConfig(
+        llm=dataclasses.replace(cfg.llm, act_int8=True), pano=cfg.pano)
+    optim_cfg = ConfigDict({"Optim": {"val_max_action_len": {"R2R": 5}}})
+
+    args = train_args
+    args.image_feat_size = cfg.pano.image_feat_size
+    args.obj_feat_size = cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    args.prefix_cache = True
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
+
+    def run_eval(kv_int8):
+        args.kv_int8 = kv_int8
+        runner = NavModelRunner(cfg, q4params, tok, dims=RolloutDims.tiny())
+        agent = load_agent("r2r", args, world, runner)
+        preds = agent.validate_streaming(
+            "R2R", args, optim_cfg, Dataloader(ds, 2, shuffle=False),
+            dataset=ds)
+        return {p_["instr_id"]: p_["trajectory"] for p_ in preds}
+
+    base = run_eval(kv_int8=False)
+    kv8 = run_eval(kv_int8=True)
+    assert base.keys() == kv8.keys() == {x["instr_id"] for x in ds.alldata}
+    same = sum(base[k] == kv8[k] for k in base)
+    assert same >= 0.8 * len(base), (same, len(base))
