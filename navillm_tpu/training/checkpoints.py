@@ -34,7 +34,13 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = SEP.join(str(getattr(k, "key", getattr(k, "idx", k)))
                        for k in path)
-        flat[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        # np.savez writes ml_dtypes bfloat16 as raw '|V2' bytes, which
+        # np.load cannot cast back — store bf16 as float32 (lossless
+        # upcast; _restore_into casts to the live leaf's dtype)
+        if arr.dtype == jax.numpy.bfloat16:
+            arr = arr.astype(np.float32)
+        flat[key] = arr
     return flat
 
 

@@ -5,8 +5,23 @@ trainable params, HF get_constant_schedule_with_warmup; clip at
 train.py:86-88) as an optax chain. Gradient accumulation is handled by
 optax.MultiSteps when accumulation > 1 (the reference accumulates by
 stepping every N batches, train.py:86-89).
+
+`moments_8bit=True` swaps scale_by_adam for the blockwise int8 moment
+store below (8-bit Adam, Dettmers et al. 2021): m/v live as int8/uint8
+codes in the PARAM's shape with group-wise fp32 scales along the last
+axis, the update math runs in fp32 each step. Moments are the largest
+training-state tensor (2x param bytes at bf16); at 7B this takes them
+13.5 GB more-than-halved to ~6.9 GB replicated, ~0.9 GB/chip under
+tp=2 x dp=4 ZeRO-1 — the knob that turns STATUS.md's "tight at bf16
+moments" v5e-8 plan into a comfortable fit. Keeping codes in the param
+shape (rather than a flat [nblocks, block] layout) is load-bearing:
+the state leaves inherit the param's 'model'-axis sharding at tx.init
+and zero1_shard_opt_state then adds the 'data' shard on top, exactly
+as for unquantized moments.
 """
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import optax
 
@@ -23,14 +38,169 @@ def constant_with_warmup(lr: float, num_warmup_steps: int):
     return sched
 
 
+# ---------------------------------------------------------------------------
+# Blockwise 8-bit Adam moments
+# ---------------------------------------------------------------------------
+
+# leaves smaller than this keep exact fp32 moments: biases / layernorm
+# gains are precision-sensitive and their storage is negligible
+_MIN_QUANT_SIZE = 4096
+_GROUP = 256
+
+
+def _group_size(last_dim: int) -> int:
+    """Quantization group along the last axis; whole-axis scale when the
+    dim does not divide (rare: only odd head counts / vocab tails)."""
+    return _GROUP if last_dim % _GROUP == 0 else last_dim
+
+
+def quantize_signed(x, group: int):
+    """x fp32 [..., L] -> (int8 codes [..., L], fp32 scales [..., L/g]).
+    Symmetric linear per group; zero groups get scale 1 (codes 0)."""
+    import jax.numpy as jnp
+    L = x.shape[-1]
+    xb = x.reshape(x.shape[:-1] + (L // group, group))
+    s = jnp.max(jnp.abs(xb), axis=-1) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(xb / s[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(x.shape), s
+
+
+def dequantize_signed(q, s, group: int):
+    import jax.numpy as jnp
+    L = q.shape[-1]
+    xb = q.reshape(q.shape[:-1] + (L // group, group)).astype(jnp.float32)
+    return (xb * s[..., None]).reshape(q.shape)
+
+
+def quantize_sqrt(v, group: int):
+    """Second moment, v >= 0: linear uint8 codes in the sqrt domain
+    (halves the dynamic range in log scale, so small-v entries inside a
+    group with one large entry keep ~2x more resolution than direct
+    linear — the failure mode that makes naive linear v-quantization
+    blow up m_hat/(sqrt(v_hat)+eps))."""
+    import jax.numpy as jnp
+    r = jnp.sqrt(v)
+    L = r.shape[-1]
+    rb = r.reshape(r.shape[:-1] + (L // group, group))
+    s = jnp.max(rb, axis=-1) / 255.0
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(rb / s[..., None]), 0, 255).astype(jnp.uint8)
+    return q.reshape(v.shape), s
+
+
+def dequantize_sqrt(q, s, group: int):
+    import jax.numpy as jnp
+    L = q.shape[-1]
+    rb = q.reshape(q.shape[:-1] + (L // group, group)).astype(jnp.float32)
+    r = (rb * s[..., None]).reshape(q.shape)
+    return r * r
+
+
+class ScaleByAdamQ8State(NamedTuple):
+    count: object      # int32 step counter
+    qm: object         # param-shaped int8 codes (or fp32 for small leaves)
+    ms: object         # fp32 group scales (or () sentinel shape for small)
+    qv: object         # param-shaped uint8 codes (or fp32 for small leaves)
+    vs: object         # fp32 group scales
+
+
+def _quantized_leaf(p) -> bool:
+    return getattr(p, "ndim", 0) >= 1 and p.size >= _MIN_QUANT_SIZE
+
+
+def scale_by_adam_q8(b1: float = 0.9, b2: float = 0.999,
+                     eps: float = 1e-8) -> optax.GradientTransformation:
+    """Drop-in for optax.scale_by_adam with blockwise int8 moment
+    storage. Update math is fp32: dequantize -> EMA -> bias-correct ->
+    m_hat/(sqrt(v_hat)+eps) -> requantize. Small leaves (<4096 elems)
+    store exact fp32 moments (dtype of the qm/qv leaf says which path
+    a leaf is on — int8/uint8 means coded)."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        def init_m(p):
+            if _quantized_leaf(p):
+                return jnp.zeros(p.shape, jnp.int8)
+            return jnp.zeros(p.shape, jnp.float32)
+
+        def init_v(p):
+            if _quantized_leaf(p):
+                return jnp.zeros(p.shape, jnp.uint8)
+            return jnp.zeros(p.shape, jnp.float32)
+
+        def init_s(p):
+            if _quantized_leaf(p):
+                g = _group_size(p.shape[-1])
+                return jnp.ones(p.shape[:-1] + (p.shape[-1] // g,),
+                                jnp.float32)
+            return jnp.zeros(())
+
+        return ScaleByAdamQ8State(
+            count=jnp.zeros((), jnp.int32),
+            qm=jax.tree.map(init_m, params),
+            ms=jax.tree.map(init_s, params),
+            qv=jax.tree.map(init_v, params),
+            vs=jax.tree.map(init_s, params))
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def leaf(g, qm, ms, qv, vs):
+            gf = g.astype(jnp.float32)
+            coded = qm.dtype == jnp.int8
+            if coded:
+                gsz = _group_size(g.shape[-1])
+                m = dequantize_signed(qm, ms, gsz)
+                v = dequantize_sqrt(qv, vs, gsz)
+            else:
+                m, v = qm, qv
+            m = b1 * m + (1.0 - b1) * gf
+            v = b2 * v + (1.0 - b2) * gf * gf
+            upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            if coded:
+                qm2, ms2 = quantize_signed(m, gsz)
+                qv2, vs2 = quantize_sqrt(v, gsz)
+            else:
+                qm2, ms2, qv2, vs2 = m, ms, v, vs
+            return upd.astype(g.dtype), qm2, ms2, qv2, vs2
+
+        flat = jax.tree.map(leaf, grads, state.qm, state.ms, state.qv,
+                            state.vs)
+        # unzip the per-leaf 5-tuples back into five pytrees
+        treedef = jax.tree.structure(grads)
+        tuples = jax.tree.leaves(flat, is_leaf=lambda x: isinstance(x, tuple))
+        upds, qms, mss, qvs, vss = (
+            jax.tree.unflatten(treedef, [t[i] for t in tuples])
+            for i in range(5))
+        return upds, ScaleByAdamQ8State(count=count, qm=qms, ms=mss,
+                                        qv=qvs, vs=vss)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr: float = 1e-5, num_warmup_steps: int = 0,
                    grad_clip_norm: float = 40.0, weight_decay: float = 0.0,
-                   accumulation: int = 1) -> optax.GradientTransformation:
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip_norm),
-        optax.adamw(constant_with_warmup(lr, num_warmup_steps),
-                    b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay),
-    )
+                   accumulation: int = 1,
+                   moments_8bit: bool = False) -> optax.GradientTransformation:
+    sched = constant_with_warmup(lr, num_warmup_steps)
+    if moments_8bit:
+        # same chain optax.adamw expands to (scale_by_adam ->
+        # add_decayed_weights -> scale_by_learning_rate), with the
+        # moment store swapped for the int8 one above
+        inner = optax.chain(
+            scale_by_adam_q8(b1=0.9, b2=0.999, eps=1e-8),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(sched),
+        )
+    else:
+        inner = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                            weight_decay=weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), inner)
     if accumulation > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulation)
     return tx

@@ -328,7 +328,8 @@ def run_training(args, cfg, logger=None, world=None, feat_dbs=None,
                         num_warmup_steps=max(
                             args.num_warmup_steps //
                             max(args.gradient_accumulation_step, 1), 0),
-                        grad_clip_norm=args.grad_clip_norm)
+                        grad_clip_norm=args.grad_clip_norm,
+                        moments_8bit=getattr(args, "adam_8bit", False))
     opt_state = tx.init(runner.params)
     zero1 = mesh_plan is not None and mesh_plan.dp_size > 1 and \
         getattr(args, "zero1", True)

@@ -148,6 +148,12 @@ class TrainArgs:
     # halves the cache's HBM residency — the slot-count ceiling at 7B
     # on 16 GB — at a small attention-precision cost. Opt-in for eval.
     kv_int8: bool = False
+    # 8-bit Adam moments (training/optim.py:scale_by_adam_q8): m/v as
+    # blockwise int8/uint8 codes in the param shape + group-256 fp32
+    # scales, fp32 update math. Moments 13.5 GB -> ~6.9 GB at 7B
+    # (before ZeRO-1 / tp splits) — makes the tp=2 x dp=4 v5e-8
+    # training plan fit comfortably. Opt-in: tiny update-noise cost.
+    adam_8bit: bool = False
     # ZeRO-1: shard the Adam moments over the data axis when dp>1
     # (parallel/mesh.py:zero1_shard_opt_state). Loss-equal to plain
     # DDP; moments are 2x the param bytes, so at 7B this is what makes
