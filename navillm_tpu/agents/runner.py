@@ -684,9 +684,10 @@ class NavModelRunner:
         bytes_needed = n_caches * int(2 * c.num_layers * batch * max_prefix
                                       * c.num_kv_heads * c.head_dim
                                       * itemsize)
-        # XLA stores s4 packed two-per-byte on TPU; host itemsize says 1
+        # int4 weights are uint8 nibble-packed (models/quant.py:
+        # pack_int4), so plain itemsize accounting is already correct
         params_bytes = int(sum(
-            x.size * (0.5 if str(x.dtype) == "int4" else x.dtype.itemsize)
+            x.size * x.dtype.itemsize
             for x in jax.tree.leaves(self.params)))
         return self.device_memory and \
             (bytes_needed + params_bytes) < 12e9

@@ -134,10 +134,13 @@ def partition_specs(cfg: LlamaConfig, quantized: bool = False,
     models/quant.py: the int8 tensor keeps the dense weight's spec and
     the per-output-channel scale shards on the same output axis (a
     scale row is [..., 1, o], so its last axis follows the weight's).
-    bits=4: the layer matmuls carry {"q4", "s"} with group scales
-    [L, h/G, o]; the int4 tensor keeps the dense spec and the scales
-    REPLICATE — they are ~1/256 of the weight bytes, and replication
-    sidesteps group-axis divisibility against arbitrary TP degrees."""
+    bits=4: the layer matmuls carry {"q4p", "s"} with group scales
+    [L, h/G, o]; the packed tensor keeps the dense spec (its last axis
+    is o/2 — nibble pairs stay intact under TP because o/2 divides by
+    the model degree whenever o does for every real dim) and the
+    scales REPLICATE — they are ~1/256 of the weight bytes, and
+    replication sidesteps group-axis divisibility against arbitrary
+    TP degrees."""
     specs = {
         "embed": P("model", None),
         "layers": {
@@ -166,7 +169,7 @@ def partition_specs(cfg: LlamaConfig, quantized: bool = False,
         return {"q": spec, "s": P(*s)}
 
     def qspec4(spec: P):
-        return {"q4": spec, "s": P(*([None] * len(spec)))}
+        return {"q4p": spec, "s": P(*([None] * len(spec)))}
 
     lq = qspec4 if bits == 4 else qspec
     quant_keys = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
@@ -208,14 +211,15 @@ def _mm(x: jnp.ndarray, w, a8: bool = False) -> jnp.ndarray:
     per-token scale: a 1/127 relative activation grid on top of the
     1/127 weight grid.
 
-    int4 weights (``{"q4": int4 [h, o], "s": [h/G, o]}``, group-wise —
-    models/quant.py) use a BLOCKWISE matmul because group scales cannot
-    post-multiply: y = sum_g (x_g @ q_g) * s_g. The int4 operand stays
-    packed in HBM (XLA s4: 0.5 byte/param); the per-group partials
-    [..., ng, o] are a small fp-accumulated transient contracted on the
-    VPU."""
+    int4 weights (``{"q4p": uint8 [h, o/2], "s": [h/G, o]}``, nibble-
+    packed group-wise — models/quant.py) use a BLOCKWISE matmul because
+    group scales cannot post-multiply: y = sum_g (x_g @ q_g) * s_g. The
+    operand stays packed in HBM at 0.5 byte/param (uint8 nibble pairs,
+    not native XLA s4 — s4 jit arguments break the axon TPU relay's
+    device_put); the VPU unpack + per-group partials [..., ng, o] are
+    fused transients."""
     if isinstance(w, dict):
-        if "q4" in w:
+        if "q4p" in w:
             return _mm4(x, w, a8)
         if a8:
             xq, sx = _act_q(x)
@@ -226,10 +230,24 @@ def _mm(x: jnp.ndarray, w, a8: bool = False) -> jnp.ndarray:
     return x @ w
 
 
+def _unpack_q4(p: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of models/quant.py:pack_int4: uint8 [..., h, o/2] ->
+    int8 [..., h, o] (low nibble = even output channel, two's-
+    complement sign-extend). Pure VPU bit ops; XLA fuses the unpack
+    into the consuming matmul's operand read so the int8 view is a
+    transient, and HBM residency stays 0.5 byte/param."""
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = ((p >> 4) & 0xF).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    q = jnp.stack([lo, hi], axis=-1)
+    return q.reshape(*p.shape[:-1], p.shape[-1] * 2)
+
+
 def _mm4(x: jnp.ndarray, w, a8: bool) -> jnp.ndarray:
     """Group-scaled int4 matmul: per-group partial dots, then an
     s-weighted contraction over groups (no dequantized weight copy)."""
-    q4, s = w["q4"], w["s"]
+    q4, s = _unpack_q4(w["q4p"]), w["s"]
     ng, o = s.shape[-2], s.shape[-1]
     g = q4.shape[-2] // ng
     if a8:

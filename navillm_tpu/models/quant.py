@@ -23,16 +23,20 @@ dequant `(x @ q) * s` uses exactly the scale the quantizer used — no
 quantize/dequantize scale mismatch.
 
 int4 (bits=4): the seven transformer-layer matmuls additionally support
-GROUP-WISE symmetric int4 (`{"q4": int4 [.., h, o], "s": [.., h/G, o]}`,
-G=128 rows of the reduction axis per scale — per-channel int4 alone is
-too lossy). XLA stores s4 packed two-per-byte on TPU, so 7B layer
-weights drop ~5.9 GB (int8) -> ~3.0 GB, freeing HBM for KV/slots on the
-HBM-bound eval paths. The embedding table and lm_head STAY int8 (logit
-fidelity; they are ~260 MB combined at 7B — not worth the accuracy
-risk). The matmul is blockwise so no dequantized copy materializes:
+GROUP-WISE symmetric int4 (`{"q4p": uint8 [.., h, o/2], "s":
+[.., h/G, o]}`, G=128 rows of the reduction axis per scale — per-
+channel int4 alone is too lossy). Values are NIBBLE-PACKED two-per-
+byte along the OUTPUT axis (adjacent output channels o=2c, 2c+1 share
+a byte: low nibble = even channel, two's-complement) rather than
+stored as native XLA s4 — s4 arrays cannot be passed as jit arguments
+through the axon TPU relay (device_put recursion), while uint8 moves
+everywhere. 7B layer weights drop ~5.9 GB (int8) -> ~3.0 GB, freeing
+HBM for KV/slots on the HBM-bound eval paths. The embedding table and
+lm_head STAY int8 (logit fidelity; they are ~260 MB combined at 7B —
+not worth the accuracy risk). The matmul unpacks with VPU bit ops and
+runs blockwise so no dequantized HBM-resident copy materializes:
 `y[o] = sum_g (x_g @ q_g)[o] * s[g, o]` (models/llama.py:_mm). Eval
-only, like int8; accuracy contract in tests/test_quant.py (int4
-section).
+only, like int8; accuracy contract in tests/test_quant4.py.
 """
 from __future__ import annotations
 
@@ -83,9 +87,34 @@ def _quant_embed(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "s": s}
 
 
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """Nibble-pack int values in [-7, 7] pairwise along the LAST axis
+    (must be even): out[..., c] = (q[..., 2c] & 0xF) | (q[..., 2c+1]
+    & 0xF) << 4 — low nibble = even channel, two's-complement. The
+    inverse lives in models/llama.py:_unpack_q4 (cross-tested in
+    tests/test_quant4.py)."""
+    assert q.shape[-1] % 2 == 0, q.shape
+    q8 = q.astype(jnp.int8)
+    lo = (q8[..., 0::2] & 0xF).astype(jnp.uint8)
+    hi = (q8[..., 1::2] & 0xF).astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def unpack_int4_host(p) -> "jnp.ndarray":
+    """numpy inverse of pack_int4 (tests / offline inspection)."""
+    import numpy as np
+    lo = (p & 0xF).astype(np.int8)
+    hi = ((p >> 4) & 0xF).astype(np.int8)
+    lo = np.where(lo >= 8, lo - 16, lo)
+    hi = np.where(hi >= 8, hi - 16, hi)
+    return np.stack([lo, hi], axis=-1).reshape(*p.shape[:-1],
+                                               p.shape[-1] * 2)
+
+
 def _quant_one4(w2d: jnp.ndarray):
     """Symmetric group-wise int4 of [h, o]: scales [h/G, o], values on
-    the ±7 grid computed against the STORED (dtype-rounded) scale."""
+    the ±7 grid computed against the STORED (dtype-rounded) scale,
+    nibble-packed along o."""
     h, o = w2d.shape
     g = _group4(h)
     w32 = w2d.astype(jnp.float32).reshape(h // g, g, o)
@@ -93,18 +122,18 @@ def _quant_one4(w2d: jnp.ndarray):
     s = (jnp.maximum(amax, 1e-8) / 7.0).astype(w2d.dtype)
     q = jnp.clip(jnp.round(w32 / s[:, None, :].astype(jnp.float32)),
                  -7, 7)
-    return q.reshape(h, o).astype(jnp.int4), s
+    return pack_int4(q.reshape(h, o)), s
 
 
 def _quant_weight4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """[h, o] or layer-stacked [L, h, o] -> {"q4", "s"} (group scales
+    """[h, o] or layer-stacked [L, h, o] -> {"q4p", "s"} (group scales
     [..., h/G, o]); stacked weights quantize layer-at-a-time like the
     int8 path to bound the fp32 transient."""
     if w.ndim == 3:
         q, s = jax.lax.map(_quant_one4, w)
-        return {"q4": q, "s": s}
+        return {"q4p": q, "s": s}
     q, s = _quant_one4(w)
-    return {"q4": q, "s": s}
+    return {"q4p": q, "s": s}
 
 
 def _quantize_llama_impl(params: Dict[str, Any],
@@ -202,8 +231,13 @@ def quantize_host_llama(params: Dict[str, Any],
         q, s = q2d(w, axis=axis)
         return {"q": q, "s": s}
 
+    def pack4(q):   # same nibble contract as pack_int4 (low = even ch)
+        q8 = q.astype(np.int8)
+        lo = (q8[..., 0::2] & 0xF).astype(np.uint8)
+        hi = (q8[..., 1::2] & 0xF).astype(np.uint8)
+        return lo | (hi << 4)
+
     def q2d4(w2d):
-        from ml_dtypes import int4 as np_int4
         h, o = w2d.shape
         g = _group4(h)
         w32 = np.asarray(w2d, np.float32).reshape(h // g, g, o)
@@ -211,20 +245,20 @@ def quantize_host_llama(params: Dict[str, Any],
         s = (np.maximum(amax, 1e-8) / 7.0).astype(w2d.dtype)
         q = np.clip(np.round(w32 / s[:, None, :].astype(np.float32)),
                     -7, 7)
-        return q.reshape(h, o).astype(np_int4), s
+        return pack4(q.reshape(h, o)), s
 
     def qw4(w):
-        from ml_dtypes import int4 as np_int4
         if w.ndim == 3:   # layer-stacked: bound the fp32 copy to 1 layer
             g = _group4(w.shape[1])
-            q = np.empty(w.shape, np_int4)
+            q = np.empty((w.shape[0], w.shape[1], w.shape[2] // 2),
+                         np.uint8)
             s = np.empty((w.shape[0], w.shape[1] // g, w.shape[2]),
                          w.dtype)
             for l in range(w.shape[0]):
                 q[l], s[l] = q2d4(w[l])
-            return {"q4": q, "s": s}
+            return {"q4p": q, "s": s}
         q, s = q2d4(w)
-        return {"q4": q, "s": s}
+        return {"q4p": q, "s": s}
 
     layers = params["layers"]
     for k in _QUANT_KEYS:
@@ -257,4 +291,4 @@ def weight_bits(params: Dict[str, Any]) -> int:
     tree = params.get("llm", params)
     if not is_quantized(tree):
         return 16
-    return 4 if "q4" in tree["layers"]["wq"] else 8
+    return 4 if "q4p" in tree["layers"]["wq"] else 8

@@ -1,7 +1,8 @@
 """Group-wise int4 weight quantization (`bits=4`, models/quant.py).
 
 int4 is a capacity lever on top of int8: the seven layer matmuls store
-0.5 byte/param (XLA s4 packs two per byte on TPU) with one scale per
+0.5 byte/param (uint8 nibble pairs packed along the output axis —
+native XLA s4 jit arguments break the axon relay) with one scale per
 GROUP4=128 reduction rows, halving LLM weight HBM again (~6.8 -> ~3.3 GB
 at 7B) for the HBM-bound eval paths. It is intrinsically lossier than
 per-channel int8 — on gaussian random weights the per-matmul noise is
@@ -26,7 +27,8 @@ def test_weight4_group_structure_and_dequant():
     rng = np.random.RandomState(0)
     w = jnp.asarray(rng.randn(256, 96).astype(np.float32))
     qw = Q._quant_weight4(w)
-    assert qw["q4"].dtype == jnp.int4
+    assert qw["q4p"].dtype == jnp.uint8
+    assert qw["q4p"].shape == (256, 48)      # nibble pairs along o
     assert qw["s"].shape == (2, 96)          # 256 / GROUP4
     x = jnp.asarray(rng.randn(4, 256).astype(np.float32))
     ref = x @ w
@@ -52,7 +54,7 @@ def test_weight4_grouping_is_exact_when_groups_are_uniform():
     qw = Q._quant_weight4(w)
     s = np.asarray(qw["s"])
     np.testing.assert_allclose(s[0], s[1])
-    q = np.asarray(qw["q4"]).astype(np.int32)
+    q = Q.unpack_int4_host(np.asarray(qw["q4p"])).astype(np.int32)
     np.testing.assert_array_equal(q[:128], q[128:])
 
 
@@ -64,11 +66,30 @@ def test_stacked_weight4_matches_per_layer():
         ql = Q._quant_weight4(w[l])
         # lax.map vs direct fusion reorders the amax reduction ->
         # last-ulp scale wobble, which can flip round() at a bin edge
-        d = np.abs(np.asarray(qs["q4"][l]).astype(np.int32)
-                   - np.asarray(ql["q4"]).astype(np.int32))
+        d = np.abs(Q.unpack_int4_host(np.asarray(qs["q4p"][l]))
+                   .astype(np.int32)
+                   - Q.unpack_int4_host(np.asarray(ql["q4p"]))
+                   .astype(np.int32))
         assert d.max() <= 1 and (d == 0).mean() > 0.99
         np.testing.assert_allclose(np.asarray(qs["s"][l]),
                                    np.asarray(ql["s"]), rtol=1e-5)
+
+
+def test_pack_unpack_roundtrip_and_nibble_order():
+    """pack_int4 (device) <-> _unpack_q4 (device) <-> unpack_int4_host
+    must agree on the nibble contract: low nibble = even output
+    channel, two's-complement."""
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randint(-7, 8, (5, 16, 10)).astype(np.int8))
+    packed = Q.pack_int4(q)
+    assert packed.dtype == jnp.uint8 and packed.shape == (5, 16, 5)
+    np.testing.assert_array_equal(np.asarray(L._unpack_q4(packed)),
+                                  np.asarray(q))
+    np.testing.assert_array_equal(Q.unpack_int4_host(np.asarray(packed)),
+                                  np.asarray(q))
+    # explicit contract: byte 0 of a pair = channels (0, 1)
+    one = Q.pack_int4(jnp.asarray([[3, -5]], dtype=jnp.int8))
+    assert int(np.asarray(one)[0, 0]) == (3 | ((-5) & 0xF) << 4)
 
 
 def test_mm4_a8_close_to_weight_only():
@@ -147,7 +168,7 @@ def test_partition_specs_int4_structure(tiny_model):
     # group scales replicate; int4 values keep the dense TP spec
     assert specs["layers"]["wq"]["s"] == jax.sharding.PartitionSpec(
         None, None, None)
-    assert specs["layers"]["wq"]["q4"] == L.partition_specs(
+    assert specs["layers"]["wq"]["q4p"] == L.partition_specs(
         cfg)["layers"]["wq"]
 
 
@@ -159,7 +180,9 @@ def test_init_params_quantized4_matches_post_hoc(tiny_model):
 
     def cmp(a, b):
         a, b = np.asarray(a), np.asarray(b)
-        if a.dtype.name in ("int8", "int4"):
+        if a.dtype.name == "uint8":   # nibble-packed int4: compare values
+            a, b = Q.unpack_int4_host(a), Q.unpack_int4_host(b)
+        if a.dtype.name == "int8":
             d = np.abs(a.astype(np.int32) - b.astype(np.int32))
             assert d.max() <= 1, d.max()
             assert (d == 0).mean() > 0.95
@@ -183,7 +206,9 @@ def test_quantize_host_llama4_matches_device(tiny_model):
     def cmp(a, b):
         a, b = np.asarray(a), np.asarray(b)
         assert a.dtype == b.dtype and a.shape == b.shape
-        if a.dtype.name in ("int8", "int4"):
+        if a.dtype.name == "uint8":   # nibble-packed int4
+            a, b = Q.unpack_int4_host(a), Q.unpack_int4_host(b)
+        if a.dtype.name == "int8":
             d = np.abs(a.astype(np.int32) - b.astype(np.int32))
             assert d.max() <= 1, d.max()
             assert (d == 0).mean() > 0.95
