@@ -136,8 +136,11 @@ def partition_specs(cfg: LlamaConfig, quantized: bool = False,
     scale row is [..., 1, o], so its last axis follows the weight's).
     bits=4: the layer matmuls carry {"q4p", "s"} with group scales
     [L, h/G, o]; the packed tensor keeps the dense spec (its last axis
-    is o/2 — nibble pairs stay intact under TP because o/2 divides by
-    the model degree whenever o does for every real dim) and the
+    is o/2 — nibble pairs stay intact under TP only when o/2 itself
+    divides by the model degree, i.e. the per-shard output-channel
+    count is even; parallel/mesh.py:shard_params asserts this for
+    every q4p leaf rather than relying on real dims being multiples
+    of 128) and the
     scales REPLICATE — they are ~1/256 of the weight bytes, and
     replication sidesteps group-axis divisibility against arbitrary
     TP degrees."""

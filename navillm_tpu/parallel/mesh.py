@@ -71,6 +71,22 @@ def shard_params(params: Dict[str, Any], specs: Dict[str, Any],
             spec = P()
         if not isinstance(spec, P):
             spec = P()
+        if (path and getattr(path[-1], "key", None) == "q4p"
+                and len(spec) == getattr(leaf, "ndim", 0)
+                and spec[-1] is not None):
+            # int4 nibble-packed weights: the packed last axis is o/2
+            # channel PAIRS; a TP split must land on pair boundaries or
+            # channels silently mis-map to the wrong scale groups
+            names = ((spec[-1],) if isinstance(spec[-1], str)
+                     else tuple(spec[-1]))
+            deg = 1
+            for nme in names:
+                deg *= plan.mesh.shape[nme]
+            assert leaf.shape[-1] % deg == 0, (
+                f"q4p leaf last axis {leaf.shape[-1]} (= out_channels/2) "
+                f"must divide by model degree {deg}: per-shard output-"
+                f"channel count would be odd, splitting a nibble pair "
+                f"across TP shards")
         return jax.device_put(leaf, NamedSharding(plan.mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

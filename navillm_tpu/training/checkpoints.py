@@ -82,6 +82,18 @@ def save_checkpoint(path: str | Path, params, opt_state=None,
         json.dump(header, f)
 
 
+def _undo_void(arr: np.ndarray) -> np.ndarray:
+    """Recover bf16 leaves from LEGACY npz checkpoints written before
+    the save-time float32 upcast in _flatten: np.savez stored ml_dtypes
+    bfloat16 as raw '|V2' bytes, which np.load returns as void — the
+    bit pattern is intact, so view it back as bfloat16 instead of
+    crashing _restore_into's dtype cast (ADVICE r3)."""
+    if arr.dtype.kind == "V" and arr.dtype.itemsize == 2:
+        import ml_dtypes
+        return arr.view(ml_dtypes.bfloat16)
+    return arr
+
+
 def _restore_into(tree, flat: Dict[str, np.ndarray], prefix: str, logger=None):
     """Merge flat arrays into a live tree, skipping shape mismatches."""
     skipped = []
@@ -133,7 +145,7 @@ def load_checkpoint(path: str | Path, params, opt_state=None, logger=None
                          for k, v in _flatten(raw["opt"]).items()})
     else:
         data = np.load(path.with_suffix(".npz"), allow_pickle=False)
-        flat = {k: data[k] for k in data.files}
+        flat = {k: _undo_void(data[k]) for k in data.files}
 
     params = _restore_into(params, flat, "params", logger)
     if opt_state is not None and any(k.startswith("opt" + SEP) for k in flat):

@@ -42,8 +42,10 @@ def constant_with_warmup(lr: float, num_warmup_steps: int):
 # Blockwise 8-bit Adam moments
 # ---------------------------------------------------------------------------
 
-# leaves smaller than this keep exact fp32 moments: biases / layernorm
-# gains are precision-sensitive and their storage is negligible
+# leaves smaller than this keep exact fp32 moments; 1-D leaves (biases,
+# layernorm gains) ALWAYS keep fp32 regardless of size — they are
+# precision-sensitive and their storage is negligible even at h=4096
+# (ADVICE r3: size>=4096 alone coded 7B LN gains, contradicting this)
 _MIN_QUANT_SIZE = 4096
 _GROUP = 256
 
@@ -106,7 +108,36 @@ class ScaleByAdamQ8State(NamedTuple):
 
 
 def _quantized_leaf(p) -> bool:
-    return getattr(p, "ndim", 0) >= 1 and p.size >= _MIN_QUANT_SIZE
+    return getattr(p, "ndim", 0) >= 2 and p.size >= _MIN_QUANT_SIZE
+
+
+def _scale_like(p, s):
+    """Place a group-scale array on a sharding derived from its param.
+
+    The codes (param shape) inherit sharding via zeros_like, but the
+    scale's last axis is L/group, so the param's sharding cannot be
+    reused verbatim. Keep every non-last axis entry; keep the last-axis
+    entry only when the group boundaries align with the shards (per-
+    shard last-dim divisible by the group), else replicate that axis.
+    Eager-only (concrete arrays); under tracing, shardings propagate
+    from the inputs anyway."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = getattr(p, "sharding", None)
+    if isinstance(p, jax.core.Tracer) or not isinstance(sh, NamedSharding):
+        return s
+    spec = list(sh.spec) + [None] * (p.ndim - len(sh.spec))
+    last = spec[-1]
+    if last is not None:
+        names = (last,) if isinstance(last, str) else tuple(last)
+        deg = 1
+        for n in names:
+            deg *= sh.mesh.shape[n]
+        g = _group_size(p.shape[-1])
+        if s.shape[-1] % deg != 0 or (p.shape[-1] // deg) % g != 0:
+            spec[-1] = None
+    return jax.device_put(s, NamedSharding(sh.mesh, PartitionSpec(*spec)))
 
 
 def scale_by_adam_q8(b1: float = 0.9, b2: float = 0.999,
@@ -120,21 +151,27 @@ def scale_by_adam_q8(b1: float = 0.9, b2: float = 0.999,
     import jax.numpy as jnp
 
     def init(params):
+        # zeros_like (NOT zeros(p.shape)) is load-bearing: it inherits
+        # the param's NamedSharding, so at 7B under tp the int8/uint8
+        # codes materialize sharded instead of ~14 GB replicated on the
+        # default device (ADVICE r3 medium); zero1_shard_opt_state then
+        # adds the 'data' shard on top.
         def init_m(p):
             if _quantized_leaf(p):
-                return jnp.zeros(p.shape, jnp.int8)
-            return jnp.zeros(p.shape, jnp.float32)
+                return jnp.zeros_like(p, dtype=jnp.int8)
+            return jnp.zeros_like(p, dtype=jnp.float32)
 
         def init_v(p):
             if _quantized_leaf(p):
-                return jnp.zeros(p.shape, jnp.uint8)
-            return jnp.zeros(p.shape, jnp.float32)
+                return jnp.zeros_like(p, dtype=jnp.uint8)
+            return jnp.zeros_like(p, dtype=jnp.float32)
 
         def init_s(p):
             if _quantized_leaf(p):
                 g = _group_size(p.shape[-1])
-                return jnp.ones(p.shape[:-1] + (p.shape[-1] // g,),
-                                jnp.float32)
+                s = jnp.ones(p.shape[:-1] + (p.shape[-1] // g,),
+                             jnp.float32)
+                return _scale_like(p, s)
             return jnp.zeros(())
 
         return ScaleByAdamQ8State(
