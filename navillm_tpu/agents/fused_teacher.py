@@ -1,25 +1,44 @@
-"""Fused teacher-forcing rollout: one LLM call for a whole trajectory.
+"""Fused whole-trajectory training: one LLM grad chain per trajectory.
 
 The reference runs one Vicuna forward + backward per rollout step
-(mp3d_agent.py:593-757). Under teacher forcing the entire trajectory is
-known before any model call — actions follow the expert policy, and the
-history embeddings fed to the LLM are the *pre-LLM* graph-fusion
-embeddings (nav_model.py:214 feeds fuse_embeds, which never depend on
-the LLM). So training can run as (SURVEY.md §7.1 "big win"):
+(mp3d_agent.py:593-757). Both training halves can instead run a single
+fused loss pass over the whole trajectory (SURVEY.md §7.1 "big win"):
 
-  1. host: simulate the whole trajectory (teacher actions, env steps),
-     snapshotting per-step graph structure and panorama inputs;
+TEACHER half (`rollout_teacher_fused`): under teacher forcing the
+entire trajectory is known before any model call — actions follow the
+expert policy, and the history embeddings fed to the LLM are the
+*pre-LLM* graph-fusion embeddings (nav_model.py:214 feeds fuse_embeds,
+which never depend on the LLM). Phase 1 is pure host simulation.
+
+DAGGER half (`rollout_dagger_fused`): actions come from the policy, so
+phase 1 runs a NO-GRAD sampling rollout (deterministic panorama + LLM
+inference forward per step — 1 forward-unit/step instead of the
+per-step path's fwd+bwd ~3 units), recording the same per-step
+snapshots. Nothing in that rollout is differentiated; the gradient
+then comes from the SAME fused whole-trajectory loss pass as the
+teacher half, with targets = the expert action at each visited state
+(teacher_action, imitation_learning=False) and the prompt/candidate
+permutations REUSED from the sampling pass — exactly the pairing the
+reference's per-step path uses (one permutation serves both the
+sampled action and the loss at each step, mp3d_agent.py:738-778).
+Given the trajectory, gradient structure is identical to the per-step
+path (tests/test_fused_dagger.py); the only behavioral difference is
+that actions are sampled from the dropout-FREE policy rather than the
+dropout-noised one (DAgger needs "sample from the current policy",
+not a specific noise instance; documented in docs/PERFORMANCE.md).
+
+Shared fused loss pass (`_fused_trajectory_train`):
   2. device: ONE batched panorama call over all (episode, step) rows;
   3. host: replay graph-memory updates from the panorama outputs,
      assemble per-row navigation arrays;
   4. device: one fusion-only call -> history embeddings per row;
   5. device: navigation LLM loss+grad calls over all rows in fixed
      [args.fused_rows_per_call, L] chunks (loss = sum CE * train_ml /
-     batch_size / grad_accum, identical to the per-step path's
+     loss_den / grad_accum, identical to the per-step path's
      accumulated per-step backwards; chunking bounds the activation
      footprint next to AdamW state on 16 GB and keeps executables at a
      stable shape for any trajectory length);
-  6. sub-task heads (FGR2R rows batched; OG / summarization at final
+  6. sub-task heads (FGR2R rows batched; OG / EQA-generation at final
      step) as flat batched calls.
 
 All grad calls dispatch WITHOUT host syncs (device-scalar losses,
@@ -28,7 +47,7 @@ phase 1 — train_loop materializes losses one step later.
 
 Gradient structure matches the per-step path exactly: graph memory and
 history embeddings are detached in both (verified by
-tests/test_fused_teacher.py equivalence checks).
+tests/test_fused_teacher.py / test_fused_dagger.py equivalence checks).
 """
 from __future__ import annotations
 
@@ -124,6 +143,195 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         if flag:
             break
 
+    return _fused_trajectory_train(
+        agent, args, steps=steps, gmaps=gmaps, traj=traj,
+        instructions=instructions, data_type=data_type, B=B,
+        train_ml=train_ml, loss_den=B, feedback="teacher",
+        fgr2r_steps=fgr2r_steps)
+
+
+def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
+                         train_ml, forced_actions=None, loss_denom=None,
+                         np_rng=None, **kwargs):
+    """Drop-in replacement for rollout(feedback='sample', training).
+
+    Phase 1': a NO-GRAD sampling rollout (the split the per-step path's
+    "FLOP floor" argument ignored — VERDICT r3 #2): per step, the
+    deterministic panorama + LLM inference forward produce policy
+    logits, the action is sampled host-side with the same
+    softmax/temperature/rng code as the per-step path
+    (mp3d_agent._rollout_gen), and the same per-step snapshots as the
+    teacher phase 1 are recorded — PLUS the sampled action, the
+    candidate permutation, and the prompt strings, which the fused loss
+    pass reuses verbatim so loss semantics match the per-step path's
+    one-permutation-per-step pairing.
+
+    forced_actions ([T][B] int arrays): replay injection for the
+    gradient-parity test — bypasses sampling so the fused pass can be
+    compared against a per-step run on the identical trajectory.
+    """
+    from .graph_map import GraphMap
+    from .mp3d_agent import _softmax
+
+    obs = [o for o in batch_dict["observations"]]
+    envs = batch_dict["env"]
+    items = batch_dict["item"]
+    data_type = batch_dict["data_type"]
+    B = len(obs)
+    loss_den = loss_denom if loss_denom is not None else B
+    rng_local = np_rng if np_rng is not None else agent.np_rng
+    max_action_len = optim_cfg.train_max_action_len[name]
+
+    agent.update_scanvp_cands(obs)
+    if agent._prefetcher is None and dataset is not None \
+            and getattr(dataset, "feat_db", None) is not None:
+        from ..data.prefetch import FeaturePrefetcher
+        agent._prefetcher = FeaturePrefetcher(dataset.feat_db)
+    gmaps = [GraphMap(ob["viewpoint"]) for ob in obs]
+    for i, ob in enumerate(obs):
+        gmaps[i].update_graph(ob)
+    traj = [{"instr_id": ob["instr_id"], "path": [[ob["viewpoint"]]],
+             "details": {}} for ob in obs]
+    instructions = [ob["instruction"] for ob in obs]
+    history: List[List[str]] = [[] for _ in range(B)]
+    # policy-side history embeds (deterministic); the loss pass
+    # recomputes its own dropout-noised history in phase 4
+    hist_vis_eval: List[List[np.ndarray]] = [[] for _ in range(B)]
+
+    steps: List[Dict[str, Any]] = []
+    ended = np.zeros(B, bool)
+    t = 0
+    while t < max_action_len:
+        flag = bool(ended.all() or t == max_action_len - 1)
+        for i, gmap in enumerate(gmaps):
+            if not ended[i]:
+                gmap.node_step_ids[obs[i]["viewpoint"]] = t + 1
+        if agent._prefetcher is not None:
+            agent._prefetcher.prefetch_candidates(obs)
+        with agent.timer.stage("pano_assemble"):
+            pano_inputs = agent.panorama_inputs(obs)
+        # no-grad deterministic panorama for the sampling policy only;
+        # phase 2 of the fused pass recomputes dropout-noised embeds
+        # for the gradient chain
+        with agent.timer.stage("pano_device"):
+            pano_out = agent.runner.panorama(pano_inputs,
+                                             deterministic=True)
+        pano_embeds = pano_out["pano_embeds"]
+        pano_masks = pano_out["pano_masks"]
+        denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
+        avg_pano = (pano_embeds * pano_masks[..., None]).sum(1) / denom
+        for i, gmap in enumerate(gmaps):
+            if ended[i]:
+                continue
+            gmap.update_node_embed(obs[i]["viewpoint"], avg_pano[i],
+                                   rewrite=True)
+            for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
+                if not gmap.visited(cvp):
+                    gmap.update_node_embed(cvp, pano_embeds[i, j])
+
+        with agent.timer.stage("nav_assemble"):
+            gmap_in = agent.nav_gmap_inputs(obs, gmaps)
+            vp_in = agent.nav_vp_inputs(obs, gmaps, pano_embeds, pano_masks,
+                                        pano_inputs["cand_vpids"])
+            match = agent.local_match_slots(
+                gmap_in["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
+                width=pano_masks.shape[1] + 1)
+            order, prompts, cand_nums = agent.cand_order_and_prompts(
+                gmap_in, instructions, history, validate=False,
+                rng=rng_local)
+            tok_batch, cand_pos, hist_pos, cls_pos = \
+                agent.runner.tokenize_with_positions(prompts)
+        nav_batch = {
+            "gmap_img_embeds": gmap_in["gmap_img_embeds"],
+            "gmap_step_ids": gmap_in["gmap_step_ids"],
+            "gmap_pos_fts": gmap_in["gmap_pos_fts"],
+            "gmap_masks": gmap_in["gmap_masks"],
+            "gmap_visited_masks": gmap_in["gmap_visited_masks"],
+            "vp_img_embeds": vp_in["vp_img_embeds"],
+            "vp_pos_fts": vp_in["vp_pos_fts"],
+            "pano_masks": vp_in["pano_masks"],
+            "local_match_slot": match,
+            "cand_order": order,
+            "cand_positions": cand_pos,
+            "hist_positions": hist_pos,
+            "hist_embeds": agent.hist_arrays(hist_vis_eval),
+            "input_ids": tok_batch.input_ids,
+            "attention_mask": tok_batch.attention_mask,
+            "cls_pos": cls_pos,
+        }
+        with agent.timer.stage("nav_device"):
+            logits, fuse_embeds, _ = agent.runner.navigation(nav_batch,
+                                                             train=False)
+
+        nav_targets = agent.teacher_action(
+            obs, gmap_in["gmap_vpids"], ended,
+            visited_masks=gmap_in["gmap_visited_masks"],
+            imitation_learning=False, t=t)
+
+        if forced_actions is not None:
+            a_t = np.asarray(forced_actions[t], np.int64)
+        else:
+            # same sampling code as the per-step path (temperature
+            # softmax + host rng.choice) so the action distribution
+            # given the logits is identical
+            a_t = np.zeros(B, np.int64)
+            probs = _softmax(logits / max(args.temperature, 1e-6))
+            for i in range(B):
+                p = probs[i].astype(np.float64)
+                a_t[i] = rng_local.choice(len(p), p=p / p.sum())
+
+        steps.append({
+            "t": t, "flag": flag, "obs": list(obs), "ended": ended.copy(),
+            "pano_inputs": pano_inputs, "gmap_in": gmap_in,
+            "targets": nav_targets, "gmap_vpids": gmap_in["gmap_vpids"],
+            "actions": a_t.copy(), "order": order, "prompts": prompts,
+        })
+
+        # history bookkeeping exactly as the per-step path
+        # (mp3d_agent.py:1386-1397 / reference mp3d_agent.py:774-778):
+        # append for every row whose action isn't ignoreid, ended or not
+        for i in range(B):
+            if a_t[i] != args.ignoreid:
+                history[i].append("<hist>")
+                hist_vis_eval[i].append(fuse_embeds[i, a_t[i]])
+
+        a_t_stop = [ob["viewpoint"] == ob["gt_path"][-1] for ob in obs]
+        cpu_a_t: List[Optional[str]] = []
+        for i in range(B):
+            if a_t_stop[i] or ended[i] or gmap_in["no_vp_left"][i] \
+                    or t == max_action_len - 1:
+                cpu_a_t.append(None)
+            else:
+                cpu_a_t.append(gmap_in["gmap_vpids"][i][a_t[i]])
+        with agent.timer.stage("env_step"):
+            agent.make_equiv_action(cpu_a_t, gmaps, obs, traj, envs)
+        with agent.timer.stage("get_obs"):
+            obs = [dataset.get_obs(items=[items[i]], env=envs[i],
+                                   data_type=data_type[i])[0]
+                   for i in range(B)]
+        agent.update_scanvp_cands(obs)
+        for i, ob in enumerate(obs):
+            if not ended[i]:
+                gmaps[i].update_graph(ob)
+        ended = np.logical_or(ended, np.array([x is None for x in cpu_a_t]))
+        t += 1
+        if flag:
+            break
+
+    return _fused_trajectory_train(
+        agent, args, steps=steps, gmaps=gmaps, traj=traj,
+        instructions=instructions, data_type=data_type, B=B,
+        train_ml=train_ml, loss_den=loss_den, feedback="sample",
+        fgr2r_steps=[])
+
+
+def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
+                            data_type, B, train_ml, loss_den, feedback,
+                            fgr2r_steps):
+    """Phases 2-6: the fused whole-trajectory loss pass (see module
+    docstring). `steps` carries the phase-1 snapshots; for
+    feedback='sample' each step additionally holds the sampled
+    'actions', the candidate 'order', and the 'prompts' to reuse."""
     T = len(steps)
 
     # ---------------- phase 2: one batched panorama call -----------------
@@ -154,8 +362,23 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     # 20-50% row reduction at zero numerical cost, so both the phase-2
     # pano chunks and the phase-5 grad chunks run over live rows only
     # (identical compact ordering keeps the per-chunk rng alignment).
+    #
+    # EXCEPTION (sample feedback only): under sample feedback the
+    # per-step path keeps appending history embeds for rows whose
+    # episode already ended (reference mp3d_agent.py:774-778 appends
+    # for every a_t != -100, and sampled actions never are), and those
+    # embeds feed the final-step OG / EQA heads. When such a head will
+    # run, dead rows' fuse outputs are therefore real inputs and
+    # compaction is disabled for exact per-step parity; without a final
+    # head the dead appends are never read and compaction is sound.
+    heads_on = (data_type[0] in ("soon", "reverie") and args.enable_og) \
+        or data_type[0] == "eqa"
+    compact = feedback == "teacher" or not heads_on
     rows_total = T * B
-    row_live = np.concatenate([~s["ended"] for s in steps])   # [T*B]
+    if compact:
+        row_live = np.concatenate([~s["ended"] for s in steps])   # [T*B]
+    else:
+        row_live = np.ones(rows_total, bool)
     live_idx = np.nonzero(row_live)[0]
     n_live = len(live_idx)
     # flat (t*B+i) -> compact position; -1 for dead rows
@@ -286,8 +509,9 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         fuse_live = agent.runner.fuse_embeds_only(fuse_batch)[:n_live]
 
     # history: hist_vis[t] for episode i = fuse row of (t', i), slot
-    # target_{t'}, for t' < t (appended for every non-ignored step —
-    # matching rollout's history loop over a_t != ignoreid)
+    # act_{t'}, for t' < t (appended for every non-ignored step —
+    # matching rollout's history loop over a_t != ignoreid; under
+    # sample feedback act is the SAMPLED action)
     Hh = agent.dims.max_hist
     hist_embeds_live = np.zeros((n_live, Hh, H), np.float32)
     hist_counts = np.zeros((T, B), np.int32)
@@ -301,22 +525,31 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             tail = hist_store[i][-Hh:]
             for k, v in enumerate(tail):
                 hist_embeds_live[row, k] = v
+        acts = step["actions"] if feedback == "sample" else step["targets"]
         for i in range(B):
-            a = step["targets"][i]
-            if a != args.ignoreid:
-                hist_store[i].append(
-                    fuse_live[compact_of[st_idx * B + i], a])
+            a = acts[i]
+            row = compact_of[st_idx * B + i]
+            if a != args.ignoreid and row >= 0:
+                hist_store[i].append(fuse_live[row, a])
 
     # ------------- phase 5: one navigation LLM loss+grad call ------------
     # prompts/targets/hist rows are built for LIVE rows only (compact
-    # ordering, matching the phase-2 pano chunks and their rngs)
+    # ordering, matching the phase-2 pano chunks and their rngs).
+    # Teacher: candidate permutations + prompts are drawn here (phase 1
+    # made no model call). Sample: they are REUSED from the sampling
+    # pass — the per-step path pairs one permutation with both the
+    # sampled action and the loss, and so do we.
     prompts = []
     orders = []
     C = agent.dims.max_cands
     from .mp3d_agent import CLS_TOKEN_TEXT
     for st_idx, step in enumerate(steps):
         for i in range(B):
-            if step["ended"][i]:
+            if compact_of[st_idx * B + i] < 0:
+                continue
+            if feedback == "sample":
+                orders.append(np.asarray(step["order"][i], np.int32))
+                prompts.append(step["prompts"][i])
                 continue
             slots = [k for k, vp in enumerate(step["gmap_vpids"][i])
                      if k > 0 and vp is not None
@@ -343,7 +576,7 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         "cls_pos": cls_pos,
     })
     targets = np.concatenate([s["targets"] for s in steps], 0)[live_idx]
-    coef = train_ml / B / args.gradient_accumulation_step
+    coef = train_ml / loss_den / args.gradient_accumulation_step
     del nav_batch["vp_img_embeds"]
     ml_loss = 0.0
     with agent.timer.stage("nav_device"):
@@ -370,7 +603,7 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         ml_loss += agent._object_grounding_step(
             args, final["obs"], gmaps, final["gmap_in"], instructions,
             history_final, hist_vis_final, final["pano_inputs"], traj, B,
-            validate=False, training=True)
+            validate=False, training=True, loss_denom=loss_den)
 
     for fg in fgr2r_steps:
         ml_loss += agent._generation_step(
@@ -381,11 +614,15 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             answers=[ob["fg_instruction"][ob["fg_view"][fg["t"]]]
                      for ob in fg["obs"]],
             mode="embodied_qa", task="r2r", validate=False, training=True,
-            traj=traj, trie=None)
+            traj=traj, trie=None, loss_denom=loss_den)
 
+    # summarization gate mirrors the per-step path: EQA answers at the
+    # final step under ANY feedback; instruction summarization only
+    # under teacher/argmax (mp3d_agent._rollout_gen enable_summarize)
     if data_type[0] == "eqa" or (
-            data_type[0] in ("r2r", "soon", "reverie", "r2r_aug",
-                             "reverie_aug") and args.enable_summarize):
+            feedback == "teacher"
+            and data_type[0] in ("r2r", "soon", "reverie", "r2r_aug",
+                                 "reverie_aug") and args.enable_summarize):
         mode = "embodied_qa" if data_type[0] == "eqa" else "summarization"
         answers = [ob.get("answer", "") if data_type[0] == "eqa"
                    else ob["instruction"] for ob in final["obs"]]
@@ -393,6 +630,6 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             args, final["obs"], gmaps, history=history_final,
             hist_vis=hist_vis_final, instructions=instructions,
             answers=answers, mode=mode, task=agent.name, validate=False,
-            training=True, traj=traj, trie=None)
+            training=True, traj=traj, trie=None, loss_denom=loss_den)
 
     return ml_loss, traj

@@ -483,6 +483,17 @@ class MP3DAgent:
                                        train_ml=train_ml,
                                        metrics=metrics, **kwargs)
         else:
+            if getattr(args, "fused_dagger", False):
+                # no-grad sampling rollout + fused whole-trajectory
+                # loss pass (fused_teacher.rollout_dagger_fused) — the
+                # split that breaks the per-step path's fwd+bwd-per-
+                # step cost floor (VERDICT r3 #2)
+                from .fused_teacher import rollout_dagger_fused
+                kwargs.pop("metrics", None)
+                loss, _ = rollout_dagger_fused(
+                    self, args, name, config.Optim, batch, dataset=dataset,
+                    train_ml=loss_coef, **kwargs)
+                return loss * args.gradient_accumulation_step
             # dagger_streams=1 is the honest serial baseline: take the
             # plain rollout path rather than silently coercing to 2
             n_streams = max(1, int(getattr(args, "dagger_streams", 2)))

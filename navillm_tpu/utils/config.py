@@ -172,6 +172,13 @@ class TrainArgs:
     # number of interleaved DAgger streams (>=2). More streams hide
     # host work at finer grain but shrink each device call's batch
     dagger_streams: int = 2
+    # fused whole-trajectory DAgger training: a NO-GRAD sampling
+    # rollout picks the trajectory, then one fused loss fwd+bwd pass
+    # computes the gradient with the per-step path's exact gradient
+    # structure (agents/fused_teacher.rollout_dagger_fused). Replaces
+    # the per-step fwd+bwd loop (and the interleaved pipeline) for the
+    # sample-feedback half when enabled.
+    fused_dagger: bool = True
     # fixed row-chunk width for the fused-teacher grad calls: bounds the
     # per-call activation footprint (a whole trajectory batch at
     # T*B ~ 80 rows x 512 tokens + AdamW state is marginal on 16 GB)

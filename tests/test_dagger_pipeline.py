@@ -182,6 +182,7 @@ def test_train_routes_sample_batches_through_pipeline(
     monkeypatch.setattr(agent, "rollout", spy_r)
 
     det_runner.zero_grads()
+    args.fused_dagger = False   # this test targets the layer below
     args.dagger_pipeline = True
     loss = agent.train("R2R", batch, args, cfg, dataset=ds, step=1)
     assert np.isfinite(float(loss))
@@ -219,6 +220,7 @@ def test_train_streams1_is_the_serial_baseline(
                             orig_r(*a, **k))[1])
 
     det_runner.zero_grads()
+    args.fused_dagger = False   # this test targets the layer below
     args.dagger_pipeline = True
     args.dagger_streams = 1
     loss = agent.train("R2R", batch, args, cfg, dataset=ds, step=1)
