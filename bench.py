@@ -444,10 +444,9 @@ def bench_train_e2e(args):
     v, tok_per_s = max(windows)
     med = statistics.median(w[0] for w in windows)
     tf = tok_per_s * llm_flops_per_token(cfg.llm) / 1e12
-    mode_tag = "teacher+DAgger" if getattr(targs, "fused_dagger", False) \
-        else "fused-teacher"
-    return {"metric": f"episodes/sec (e2e {mode_tag} TRAINING, 1 chip, "
-                      f"{_scale_tag(args)})",
+    dtag = "fused" if getattr(targs, "fused_dagger", False) else "interleaved"
+    return {"metric": f"episodes/sec (e2e teacher+DAgger({dtag}) TRAINING, "
+                      f"1 chip, {_scale_tag(args)})",
             "value": round(v, 3), "unit": "episodes/sec",
             "vs_baseline": round(v / REF_EPISODES_PER_SEC_PER_CHIP, 3),
             "median": round(med, 3),

@@ -194,9 +194,19 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
              "details": {}} for ob in obs]
     instructions = [ob["instruction"] for ob in obs]
     history: List[List[str]] = [[] for _ in range(B)]
-    # policy-side history embeds (deterministic); the loss pass
-    # recomputes its own dropout-noised history in phase 4
+    # policy-side history embeds (host fallback path only); the loss
+    # pass recomputes its own dropout-noised history in phase 4
     hist_vis_eval: List[List[np.ndarray]] = [[] for _ in range(B)]
+
+    # device-resident sampling: the SAME one-call fused eval step the
+    # streaming evaluator uses (agents/device_memory.eval_step — pano +
+    # memory update + nav forward + on-device categorical sampling +
+    # hist append in one executable). Per-step host<->device traffic is
+    # pano features up, a_t [B] down; the host-arrays fallback below
+    # uploads graph/vp/history embeds every step, which dominated
+    # wall-clock on the tunneled chip.
+    use_mem = getattr(agent.runner, "device_memory", True)
+    mem_state = agent.runner.memory_init(B) if use_mem else None
 
     steps: List[Dict[str, Any]] = []
     ended = np.zeros(B, bool)
@@ -210,27 +220,57 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             agent._prefetcher.prefetch_candidates(obs)
         with agent.timer.stage("pano_assemble"):
             pano_inputs = agent.panorama_inputs(obs)
-        # no-grad deterministic panorama for the sampling policy only;
-        # phase 2 of the fused pass recomputes dropout-noised embeds
-        # for the gradient chain
-        with agent.timer.stage("pano_device"):
-            pano_out = agent.runner.panorama(pano_inputs,
-                                             deterministic=True)
-        pano_embeds = pano_out["pano_embeds"]
-        pano_masks = pano_out["pano_masks"]
-        denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
-        avg_pano = (pano_embeds * pano_masks[..., None]).sum(1) / denom
-        for i, gmap in enumerate(gmaps):
-            if ended[i]:
-                continue
-            gmap.update_node_embed(obs[i]["viewpoint"], avg_pano[i],
-                                   rewrite=True)
-            for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
-                if not gmap.visited(cvp):
-                    gmap.update_node_embed(cvp, pano_embeds[i, j])
+
+        if use_mem:
+            pano_embeds = None
+            pano_masks = (
+                np.arange(pano_inputs["view_img_fts"].shape[1])[None, :]
+                < pano_inputs["view_lens"][:, None])
+            M = mem_state["mem_sum"].shape[1]
+            cur_ids = np.full(B, -1, np.int32)
+            cand_ids = np.full(
+                (B, pano_inputs["view_img_fts"].shape[1]), -1, np.int32)
+            for i, gmap in enumerate(gmaps):
+                if ended[i]:
+                    continue
+                gidx = gmap.graph.index
+                cid = gidx.get(obs[i]["viewpoint"], -1)
+                cur_ids[i] = cid if cid < M else -1
+                for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
+                    if not gmap.visited(cvp):
+                        nid = gidx.get(cvp, -1)
+                        if 0 <= nid < M:
+                            cand_ids[i, j] = nid
+        else:
+            # host fallback: no-grad deterministic panorama feeds the
+            # host graph-embedding store
+            with agent.timer.stage("pano_device"):
+                pano_out = agent.runner.panorama(pano_inputs,
+                                                 deterministic=True)
+            pano_embeds = pano_out["pano_embeds"]
+            pano_masks = pano_out["pano_masks"]
+            denom = np.maximum(pano_masks.sum(1, keepdims=True), 1)
+            avg_pano = (pano_embeds * pano_masks[..., None]).sum(1) / denom
+            for i, gmap in enumerate(gmaps):
+                if ended[i]:
+                    continue
+                gmap.update_node_embed(obs[i]["viewpoint"], avg_pano[i],
+                                       rewrite=True)
+                for j, cvp in enumerate(pano_inputs["cand_vpids"][i]):
+                    if not gmap.visited(cvp):
+                        gmap.update_node_embed(cvp, pano_embeds[i, j])
 
         with agent.timer.stage("nav_assemble"):
-            gmap_in = agent.nav_gmap_inputs(obs, gmaps)
+            gmap_in = agent.nav_gmap_inputs(obs, gmaps,
+                                            fill_embeds=not use_mem)
+            if use_mem:
+                # phase 3 of the fused pass fills this snapshot buffer
+                # from the replayed (dropout-noised) panorama embeds;
+                # on the host path it starts as the eval embeds and is
+                # overwritten the same way
+                gmap_in["gmap_img_embeds"] = np.zeros(
+                    (B, agent.dims.max_gmap_nodes,
+                     agent.runner.cfg.hidden_size), np.float32)
             vp_in = agent.nav_vp_inputs(obs, gmaps, pano_embeds, pano_masks,
                                         pano_inputs["cand_vpids"])
             match = agent.local_match_slots(
@@ -242,43 +282,69 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             tok_batch, cand_pos, hist_pos, cls_pos = \
                 agent.runner.tokenize_with_positions(prompts)
         nav_batch = {
-            "gmap_img_embeds": gmap_in["gmap_img_embeds"],
             "gmap_step_ids": gmap_in["gmap_step_ids"],
             "gmap_pos_fts": gmap_in["gmap_pos_fts"],
             "gmap_masks": gmap_in["gmap_masks"],
             "gmap_visited_masks": gmap_in["gmap_visited_masks"],
-            "vp_img_embeds": vp_in["vp_img_embeds"],
             "vp_pos_fts": vp_in["vp_pos_fts"],
             "pano_masks": vp_in["pano_masks"],
             "local_match_slot": match,
             "cand_order": order,
             "cand_positions": cand_pos,
             "hist_positions": hist_pos,
-            "hist_embeds": agent.hist_arrays(hist_vis_eval),
             "input_ids": tok_batch.input_ids,
             "attention_mask": tok_batch.attention_mask,
             "cls_pos": cls_pos,
         }
-        with agent.timer.stage("nav_device"):
-            logits, fuse_embeds, _ = agent.runner.navigation(nav_batch,
-                                                             train=False)
 
         nav_targets = agent.teacher_action(
             obs, gmap_in["gmap_vpids"], ended,
             visited_masks=gmap_in["gmap_visited_masks"],
             imitation_learning=False, t=t)
 
-        if forced_actions is not None:
-            a_t = np.asarray(forced_actions[t], np.int64)
+        if use_mem:
+            M = mem_state["mem_sum"].shape[1]
+            slot_ids = np.full(gmap_in["gmap_masks"].shape, -1, np.int32)
+            for i, gmap in enumerate(gmaps):
+                gidx = gmap.graph.index
+                for k, vp in enumerate(gmap_in["gmap_vpids"][i]):
+                    if k > 0 and vp is not None:
+                        nid = gidx.get(vp, -1)
+                        if 0 <= nid < M:
+                            slot_ids[i, k] = nid
+            nav_batch["slot_ids"] = slot_ids
+            override = np.full(B, -1, np.int32)
+            if forced_actions is not None:
+                override = np.asarray(forced_actions[t], np.int32)
+            with agent.timer.stage("nav_device"):
+                # on-device categorical sampling (same temperature-
+                # softmax distribution as the host path; the draw uses
+                # the runner's jax rng stream instead of np_rng)
+                mem_state, a_t, _ = agent.runner.eval_step(
+                    mem_state, pano_inputs, nav_batch,
+                    reset_mask=np.zeros(B, bool), cur_ids=cur_ids,
+                    cand_ids=cand_ids, active_mask=~ended,
+                    a_t_override=override,
+                    do_sample=forced_actions is None,
+                    temperature=max(args.temperature, 1e-6))
+            a_t = a_t.astype(np.int64)
         else:
-            # same sampling code as the per-step path (temperature
-            # softmax + host rng.choice) so the action distribution
-            # given the logits is identical
-            a_t = np.zeros(B, np.int64)
-            probs = _softmax(logits / max(args.temperature, 1e-6))
-            for i in range(B):
-                p = probs[i].astype(np.float64)
-                a_t[i] = rng_local.choice(len(p), p=p / p.sum())
+            nav_batch["gmap_img_embeds"] = gmap_in["gmap_img_embeds"]
+            nav_batch["vp_img_embeds"] = vp_in["vp_img_embeds"]
+            nav_batch["hist_embeds"] = agent.hist_arrays(hist_vis_eval)
+            with agent.timer.stage("nav_device"):
+                logits, fuse_embeds, _ = agent.runner.navigation(
+                    nav_batch, train=False)
+            if forced_actions is not None:
+                a_t = np.asarray(forced_actions[t], np.int64)
+            else:
+                # same sampling code as the per-step path (temperature
+                # softmax + host rng.choice)
+                a_t = np.zeros(B, np.int64)
+                probs = _softmax(logits / max(args.temperature, 1e-6))
+                for i in range(B):
+                    p = probs[i].astype(np.float64)
+                    a_t[i] = rng_local.choice(len(p), p=p / p.sum())
 
         steps.append({
             "t": t, "flag": flag, "obs": list(obs), "ended": ended.copy(),
@@ -293,7 +359,8 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         for i in range(B):
             if a_t[i] != args.ignoreid:
                 history[i].append("<hist>")
-                hist_vis_eval[i].append(fuse_embeds[i, a_t[i]])
+                if not use_mem:
+                    hist_vis_eval[i].append(fuse_embeds[i, a_t[i]])
 
         a_t_stop = [ob["viewpoint"] == ob["gt_path"][-1] for ob in obs]
         cpu_a_t: List[Optional[str]] = []

@@ -136,6 +136,7 @@ def test_fused_dagger_samples_without_gradients(train_args, task_config,
     orig_fused = NavModelRunner.pano_navigation_train
     orig_mem = NavModelRunner.pano_mem_navigation_train
     orig_nav = NavModelRunner.navigation
+    orig_eval = NavModelRunner.eval_step
 
     def spy_fused(self, *a, **k):
         calls["grad_chunks"] += 1
@@ -152,9 +153,14 @@ def test_fused_dagger_samples_without_gradients(train_args, task_config,
             calls["infer"] += 1
         return orig_nav(self, b, targets=targets, coef=coef, train=train)
 
+    def spy_eval(self, *a, **k):
+        calls["infer"] += 1          # fused no-grad eval step (mem path)
+        return orig_eval(self, *a, **k)
+
     monkeypatch.setattr(NavModelRunner, "pano_navigation_train", spy_fused)
     monkeypatch.setattr(NavModelRunner, "pano_mem_navigation_train", spy_mem)
     monkeypatch.setattr(NavModelRunner, "navigation", spy_nav)
+    monkeypatch.setattr(NavModelRunner, "eval_step", spy_eval)
 
     det_runner.zero_grads()
     loss, traj = rollout_dagger_fused(
