@@ -121,6 +121,65 @@ def test_fused_dagger_matches_per_step(train_args, task_config, data_dir,
                                    atol=2e-5)
 
 
+def test_fused_dagger_device_memory_matches_host(train_args, task_config,
+                                                 data_dir, optim_cfg):
+    """Sampling rollout on the device-memory eval path == the host-
+    arrays fallback (loss, accumulated gradients, trajectories), given
+    the same forced trajectory. Keeps the `use_mem=False` branch of
+    rollout_dagger_fused covered now that device memory is the
+    default."""
+    tok = NavTokenizer(max_length=2048, pad_to_multiple=128)
+    llm = NM.L.LlamaConfig.tiny(vocab_size=tok.vocab_size)
+    pano = PanoConfig.tiny(output_size=llm.hidden_size,
+                           hidden_dropout_prob=0.0)
+    cfg = NM.NavModelConfig(llm=llm, pano=pano)
+    params = NM.init_nav_params(jax.random.PRNGKey(0), cfg)
+
+    args = train_args
+    args.image_feat_size = cfg.pano.image_feat_size
+    args.obj_feat_size = cfg.pano.obj_feat_size
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=True, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(cfg.pano.image_feat_size))
+
+    # record a deterministic (argmax) trajectory on the host path, then
+    # replay it into both paths via forced_actions
+    rec = _ArgmaxRecordingRng()
+    runner0 = NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny(),
+                             feat_dropout=0.0, device_memory=False)
+    agent0 = load_agent("r2r", args, world, runner0)
+    batch0 = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+    runner0.zero_grads()
+    rollout_dagger_fused(agent0, args, "R2R", optim_cfg.Optim, batch0,
+                         dataset=ds, train_ml=1.0, np_rng=rec)
+    runner0.take_grads()
+    B = 2
+    assert len(rec.actions) % B == 0 and len(rec.actions) > 0
+    T = len(rec.actions) // B
+    forced = [np.asarray(rec.actions[t * B:(t + 1) * B], np.int64)
+              for t in range(T)]
+
+    out = {}
+    for dev_mem in (False, True):
+        runner = NavModelRunner(cfg, params, tok, dims=RolloutDims.tiny(),
+                                feat_dropout=0.0, device_memory=dev_mem)
+        agent = load_agent("r2r", args, world, runner)
+        batch = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+        runner.zero_grads()
+        loss, traj = rollout_dagger_fused(
+            agent, args, "R2R", optim_cfg.Optim, batch, dataset=ds,
+            train_ml=1.0, forced_actions=forced, np_rng=_IdentityRng())
+        out[dev_mem] = (float(loss), runner.take_grads(),
+                        [t["path"] for t in traj])
+    assert out[True][2] == out[False][2]
+    assert out[True][0] == pytest.approx(out[False][0], rel=1e-4)
+    for a, b in zip(jax.tree.leaves(out[True][1]),
+                    jax.tree.leaves(out[False][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-5)
+
+
 def test_fused_dagger_samples_without_gradients(train_args, task_config,
                                                 data_dir, det_runner,
                                                 optim_cfg, monkeypatch):
