@@ -28,6 +28,18 @@ from ..models.pano_encoder import forward_panorama
 from ..models.tokenization import NavTokenizer
 
 
+def _useful_tokens(batch: Dict[str, Any], mask_key: str = "attention_mask",
+                   ids_key: str = "input_ids") -> float:
+    """Mask-summed (unpadded) token count for MFU accounting: useful
+    model work, excluding bucket padding and inactive rows the MXU
+    still computes. Falls back to the padded size when no mask ships
+    with the batch."""
+    m = batch.get(mask_key)
+    if m is not None:
+        return float(np.asarray(m).sum())
+    return float(np.asarray(batch[ids_key]).size)
+
+
 @dataclasses.dataclass(frozen=True)
 class RolloutDims:
     """Static padded sizes for the rollout's device batches.
@@ -86,11 +98,14 @@ class NavModelRunner:
         # replicated placement (training paths should keep this at 0
         # via _dp_pad_rows)
         self.replicated_puts = 0
-        # MFU accounting (bench.py): PADDED token count dispatched
-        # through the LLM, in forward-equivalents (a fwd+bwd call
-        # counts 3x its tokens — the standard 2:1 bwd:fwd FLOP ratio).
-        # Padded counts because the MXU does the padded work; model
-        # FLOPs = llm_token_units * per-token matmul FLOPs.
+        # MFU accounting (bench.py): UNPADDED (mask-summed) token count
+        # dispatched through the LLM, in forward-equivalents (a fwd+bwd
+        # call counts 3x its tokens — the standard 2:1 bwd:fwd FLOP
+        # ratio). Useful tokens, not padded buffer widths: MFU is
+        # useful model FLOPs over hardware capability, so pad rows and
+        # bucket padding (which the MXU does compute) count as lost
+        # utilization, not as work. Model FLOPs = llm_token_units *
+        # per-token matmul FLOPs (bench.llm_flops_per_token).
         self.llm_token_units = 0.0
         # device-resident rollout memory (agents/device_memory.py): graph
         # node embeddings + history stay in HBM; per-step host traffic is
@@ -501,7 +516,7 @@ class NavModelRunner:
                      if k in self.PANO_KEYS}
         pano_host, batch, targets = self._dp_pad_rows(
             pano_host, batch, targets=targets)
-        self.llm_token_units += 3.0 * np.asarray(batch["input_ids"]).size
+        self.llm_token_units += 3.0 * _useful_tokens(batch)
         pano_dev = self._pano_dev_inputs(pano_host)
         pe, pm = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = self._put_batch(batch)
@@ -525,7 +540,7 @@ class NavModelRunner:
         pano_host, batch, _ = self._dp_pad_rows(
             pano_host, batch, labels_key="labels",
             rows=len(batch["input_ids"]))
-        self.llm_token_units += 3.0 * np.asarray(batch["input_ids"]).size
+        self.llm_token_units += 3.0 * _useful_tokens(batch)
         pano_dev = self._pano_dev_inputs(pano_host)
         pe, _ = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = self._put_batch(batch)
@@ -571,23 +586,21 @@ class NavModelRunner:
             assert self.grad_accum is not None, "call zero_grads() first"
             n_rows = len(targets)
             batch, targets = self._dp_pad_rows(batch, targets=targets)
-            self.llm_token_units += \
-                3.0 * np.asarray(batch["input_ids"]).size
+            self.llm_token_units += 3.0 * _useful_tokens(batch)
             dev = self._put_batch(batch)
             tgt = self._put_batch({"t": targets})["t"]
             self.grad_accum, loss, logits, fuse = self._nav_train_fn(
                 self.params, self.grad_accum, dev, tgt, jnp.float32(coef))
             return (np.asarray(logits)[:n_rows], np.asarray(fuse)[:n_rows],
                     float(loss))
-        self.llm_token_units += float(np.asarray(batch["input_ids"]).size)
+        self.llm_token_units += _useful_tokens(batch)
         dev = self._put_batch(batch)
         logits, fuse = self._nav_infer_fn(self.params, dev)
         return np.asarray(logits), np.asarray(fuse), 0.0
 
     def generation(self, batch: Dict[str, np.ndarray], coef: float = 1.0,
                    train: bool = False) -> float:
-        self.llm_token_units += (3.0 if train else 1.0) \
-            * np.asarray(batch["input_ids"]).size
+        self.llm_token_units += (3.0 if train else 1.0) * _useful_tokens(batch)
         if train:
             assert self.grad_accum is not None
             batch, _ = self._dp_pad_rows(batch, labels_key="labels",
@@ -663,7 +676,7 @@ class NavModelRunner:
         validate_streaming."""
         pano_dev = self._pano_dev_inputs(pano_inputs)
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
-        self.llm_token_units += float(np.asarray(batch["input_ids"]).size)
+        self.llm_token_units += _useful_tokens(batch)
         if a_t_override is None:
             a_t_override = np.full(len(cur_ids), -1, np.int32)
         state, a_t, logits = self._eval_step_fn(
@@ -709,7 +722,11 @@ class NavModelRunner:
     def prefill(self, cache, ids, mask, rows, valid):
         """Prefill refilled rows' prefixes; rows must be distinct (pad
         entries point at rows not being prefilled, valid=False)."""
-        self.llm_token_units += float(np.asarray(ids).size)
+        # valid rows' mask-summed prefix lengths only (invalid pad
+        # entries and right-padding are not useful work)
+        v = np.asarray(valid)
+        self.llm_token_units += float(
+            (np.asarray(mask) * v[:, None]).sum())
         return self._prefill_prefix_fn(
             self.params, cache, jnp.asarray(ids), jnp.asarray(mask),
             jnp.asarray(rows, jnp.int32), jnp.asarray(valid))
@@ -723,9 +740,10 @@ class NavModelRunner:
         (state', cache', a_t, logits)."""
         pano_dev = self._pano_dev_inputs(pano_inputs)
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        act = np.asarray(active_mask)
         self.llm_token_units += float(
-            np.asarray(batch["app_ids"]).size
-            + np.asarray(batch["suf_ids"]).size)
+            (np.asarray(batch["app_mask"]) * act[:, None]).sum()
+            + (np.asarray(batch["suf_mask"]) * act[:, None]).sum())
         if a_t_override is None:
             a_t_override = np.full(len(cur_ids), -1, np.int32)
         state, cache, a_t, logits = self._eval_step_cached_fn(
@@ -757,7 +775,7 @@ class NavModelRunner:
         pano_dev = self._pano_dev_inputs(pano_inputs)
         pe, pm = self._pano_fwd_fn(self.params, rng, pano_dev)
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
-        self.llm_token_units += 3.0 * np.asarray(batch["input_ids"]).size
+        self.llm_token_units += 3.0 * _useful_tokens(batch)
         self.grad_accum, state, loss, logits, fuse, gpe = \
             self._nav_mem_train_cot_fn(
                 self.params, self.grad_accum, state, dev, pe, pm,
