@@ -598,7 +598,7 @@ def bench_all(args):
     budget = float(os.environ.get("NAVILLM_BENCH_BUDGET_S", "2700"))
     _unlink_partial()   # belt-and-braces; main() already cleared it
 
-    def run(mode, model, **overrides):
+    def run(key, mode, model, **overrides):
         if anchors and time.perf_counter() - t0 > budget:
             print(f"[bench] {mode}/{model} SKIPPED: "
                   f"{time.perf_counter() - t0:.0f}s > {budget:.0f}s budget",
@@ -632,7 +632,10 @@ def bench_all(args):
                 out["mfu_vs_cal"] = round(out["model_tflops"] / eff, 4)
         try:
             done = {k: v for k, v in anchors.items() if v is not None}
-            done[f"{mode}_{model}"] = out
+            # keyed by the caller's anchor name, NOT f"{mode}_{model}":
+            # the w4 A/B rows share mode/model with the headline anchors
+            # and must never clobber them in the promoted partial
+            done[key] = out
             Path("BENCH_PARTIAL.json").write_text(json.dumps(done))
         except OSError:
             pass
@@ -643,19 +646,23 @@ def bench_all(args):
     # kv8 and w4 both measured as eval regressions on chip (r3/r4
     # sweeps; see docs/PERFORMANCE.md) so neither enters the headline
     # config; w4 A/B rows are recorded at the end of this list.
-    anchors["rollout_7b"] = run("rollout", "7b", prefix_cache=True,
-                                a8=True, iters=args.iters)
-    anchors["decode_7b"] = run("decode", "7b", a8=True)
-    anchors["train_e2e_proxy"] = run("train_e2e", "proxy")
-    anchors["rollout_proxy"] = run("rollout", "proxy")
+    anchors["rollout_7b"] = run("rollout_7b", "rollout", "7b",
+                                prefix_cache=True, a8=True,
+                                iters=args.iters)
+    anchors["decode_7b"] = run("decode_7b", "decode", "7b", a8=True)
+    anchors["train_e2e_proxy"] = run("train_e2e_proxy", "train_e2e",
+                                     "proxy")
+    anchors["rollout_proxy"] = run("rollout_proxy", "rollout", "proxy")
     # int4 A/B rows (VERDICT r3 #1/#5): capacity lever, measured — the
     # r4 on-chip sweep found the group-scaled int4 matmul a large eval
     # REGRESSION (rollout 2.15 vs 7.69 eps/s a8), so w4 never enters
     # the headline; these rows keep the driver-recorded evidence
     # honest. Last in line: budget-skip protects the headline anchors.
-    anchors["decode_7b_w4"] = run("decode", "7b", a8=True, w4=True)
-    anchors["rollout_7b_w4"] = run("rollout", "7b", prefix_cache=True,
-                                   a8=True, w4=True, iters=args.iters)
+    anchors["decode_7b_w4"] = run("decode_7b_w4", "decode", "7b",
+                                  a8=True, w4=True)
+    anchors["rollout_7b_w4"] = run("rollout_7b_w4", "rollout", "7b",
+                                   prefix_cache=True, a8=True, w4=True,
+                                   iters=args.iters)
 
     head = anchors.get("rollout_7b") or anchors.get("rollout_proxy")
     out = dict(head) if head else {"metric": "bench failed", "value": 0.0,
