@@ -267,8 +267,16 @@ def eval_step_cached(params, cfg, pano_apply, state, cache, pano_in, batch,
     pmax = pkv["k"].shape[2]
     prefix_mask = jnp.arange(pmax)[None, :] < plen[:, None]
 
-    # (a) history append window: inject hist_buf[b, hist_cnt-1] at the
-    # window's <hist> token, write K/V at the per-row prefix end
+    # MERGED window: [history-append | candidates-suffix] in ONE cached
+    # pass (r4: the per-step cost was dominated by reading/dequantizing
+    # the full [L,B,P,NKV,D] prefix cache, and the split form read it
+    # TWICE per step plus paid a second 32-layer scan). The suffix
+    # attends to the append tokens intra-window (same post-rope K/V the
+    # split form re-read from the cache — identical math, pinned by the
+    # chunk-parity and streaming A/B tests); only the first-A columns
+    # scatter K/V into the cache via write_mask.
+    # (a) history append columns: inject hist_buf[b, hist_cnt-1] at the
+    # window's <hist> token, K/V written at the per-row prefix end
     app_mask = batch["app_mask"]
     hist_idx = jnp.maximum(state["hist_cnt"] - 1, 0)
     hist_val = state["hist_buf"][jnp.arange(b), hist_idx]           # [B, H]
@@ -277,25 +285,27 @@ def eval_step_cached(params, cfg, pano_apply, state, cache, pano_in, batch,
         hist_val[:, None, :])
     app_emb = jnp.where(app_mask[..., None], app_emb, 0)
     a_w = app_mask.shape[1]
+    app_len = app_mask.sum(1).astype(jnp.int32)
     app_pos = plen[:, None] + jnp.arange(a_w)[None, :]
-    _, pkv = L.chunk_forward_cached(
-        params["llm"], cfg.llm, app_emb, pkv, prefix_mask, app_mask,
-        app_pos, write_offsets=plen)
-    plen = plen + app_mask.sum(1).astype(jnp.int32)
-    prefix_mask = jnp.arange(pmax)[None, :] < plen[:, None]
-
-    # (b) candidates suffix: inject fused cand embeds, read-only forward
+    # (b) candidates suffix columns: inject fused cand embeds, no writes
     suf_mask = batch["suf_mask"]
     suf_emb = L.embed_with_injection(
         params["llm"], batch["suf_ids"], batch["cand_positions"],
         cand_embeds)
     suf_emb = jnp.where(suf_mask[..., None], suf_emb, 0)
     s_w = suf_mask.shape[1]
-    suf_pos = plen[:, None] + jnp.arange(s_w)[None, :]
-    hidden, _ = L.chunk_forward_cached(
-        params["llm"], cfg.llm, suf_emb, pkv, prefix_mask, suf_mask, suf_pos)
+    suf_pos = (plen + app_len)[:, None] + jnp.arange(s_w)[None, :]
+    win_emb = jnp.concatenate([app_emb, suf_emb], axis=1)
+    win_mask = jnp.concatenate([app_mask, suf_mask], axis=1)
+    win_pos = jnp.concatenate([app_pos, suf_pos], axis=1)
+    wmask = jnp.concatenate(
+        [app_mask, jnp.zeros_like(suf_mask)], axis=1)
+    hidden, pkv = L.chunk_forward_cached(
+        params["llm"], cfg.llm, win_emb, pkv, prefix_mask, win_mask,
+        win_pos, write_offsets=plen, write_mask=wmask)
+    plen = plen + app_len
 
-    cls_hidden = hidden[jnp.arange(b), batch["cls_pos"]]
+    cls_hidden = hidden[jnp.arange(b), a_w + batch["cls_pos"]]
     preds = (cls_hidden @ params["out_head"]["w"]
              + params["out_head"]["b"]).astype(jnp.float32)
     from ..ops.masking import NEG_INF

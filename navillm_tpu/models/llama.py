@@ -460,7 +460,7 @@ def decode_step(params, cfg: LlamaConfig, inputs_embeds, prompt_kv,
 
 def chunk_forward_cached(params, cfg: LlamaConfig, inputs_embeds, prefix_kv,
                          prefix_mask, suffix_mask, positions,
-                         write_offsets=None):
+                         write_offsets=None, write_mask=None):
     """Forward an S-token suffix window against a per-row ragged prefix
     KV cache (vLLM-style prefix caching for the rollout loop: the
     instruction+history part of the navigation prompt is append-only
@@ -481,6 +481,15 @@ def chunk_forward_cached(params, cfg: LlamaConfig, inputs_embeds, prefix_kv,
     caller extends prefix_mask afterwards. Returns (hidden [B, S, H],
     updated prefix_kv) — prefix_kv passes through unchanged when
     write_offsets is None.
+
+    write_mask [B, S] (optional, default suffix_mask): which window
+    tokens scatter K/V into the cache. The merged eval window
+    ([history-append | candidates-suffix] in ONE pass — the suffix
+    attends to the append tokens intra-window instead of re-reading
+    them from the cache) appends only its first-A columns: the suffix
+    K/V must NOT persist, since the next step's append claims those
+    slots. Must be a prefix (per row) of suffix_mask's valid columns
+    so widx stays dense at write_offsets[b] + j.
 
     The cache may be int8-quantized ({"k","ks","v","vs"}; scales
     [L, B, P, NKV, 1] fp32): reads dequantize per layer inside the
@@ -506,7 +515,8 @@ def chunk_forward_cached(params, cfg: LlamaConfig, inputs_embeds, prefix_kv,
         # collide padding entries onto slot p-1 and nondeterministically
         # overwrite a real write when an append exactly fills the cache
         widx = write_offsets[:, None] + jnp.arange(s)[None, :]    # [B, S]
-        wok = suffix_mask & (widx < p)
+        wok = (suffix_mask if write_mask is None else write_mask) \
+            & (widx < p)
         bgrid = jnp.broadcast_to(jnp.arange(b)[:, None], (b, s))
 
         def scatter(buf, new):
