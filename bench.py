@@ -329,6 +329,8 @@ def bench_rollout(args):
         _rollout_world(args, _model(args.debug, args.model, _use_a8(args)), n_slots)
     targs.prefix_cache = args.prefix_cache
     targs.kv_int8 = bool(args.kv8)
+    if args.eval_streams:
+        targs.eval_streams = args.eval_streams
 
     # warmup (compile) with one untimed streaming pass: compiles the
     # fused eval-step executable for every prompt-length bucket
@@ -736,6 +738,10 @@ def main():
                     help="train_e2e: fused_rows_per_call override")
     ap.add_argument("--streams", type=int, default=None,
                     help="train_e2e: interleaved DAgger stream count")
+    ap.add_argument("--eval_streams", type=int, default=None,
+                    help="rollout: streaming slot-group (pipeline) "
+                         "count; deeper hides per-step d2h latency on "
+                         "tunneled chips (--batch sets slots/group)")
     ap.add_argument("--fused_dagger", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="train_e2e: fused whole-trajectory DAgger half "

@@ -656,19 +656,24 @@ class MP3DAgent:
         # append-only per episode). Auto-off when the cache would not
         # fit next to the weights (7B eval-only on 16 GB).
         kv_int8 = getattr(args, "kv_int8", False)
+        _n_streams = max(1, int(getattr(args, "eval_streams", 0) or 2))
         use_cache = use_mem and getattr(args, "prefix_cache", False) and \
             self.runner.prefix_cache_enabled(num_slots,
                                              self.dims.max_prefix,
-                                             n_caches=2, kv_int8=kv_int8)
-        # TWO slot groups pipeline the memory path: while the device runs
+                                             n_caches=_n_streams,
+                                             kv_int8=kv_int8)
+        # Slot groups pipeline the memory path: while the device runs
         # group A's fused step (dispatch is async, only a_t is ever
         # downloaded), the host retires group B's previous actions
         # (env step, get_obs, refill) and assembles + dispatches B's next
         # step. In steady state the chip is never idle waiting for host
         # work and the host never waits except to materialize a finished
         # step's a_t. The host path syncs on full logits, so it stays
-        # single-stream.
-        n_streams = 2 if use_mem else 1
+        # single-stream. Default 2 groups; on links where the per-step
+        # a_t download latency exceeds the device step (tunneled/relay
+        # chips measured at a ~40 ms d2h floor), deeper pipelines keep
+        # the chip busy — sweepable via args.eval_streams.
+        n_streams = _n_streams if use_mem else 1
 
         class Stream:
             __slots__ = ("slots", "mem_state", "reset_rows", "pending",
@@ -937,6 +942,17 @@ class MP3DAgent:
                         temperature=getattr(args, "temperature", 1.0),
                         sync=False)
                 st.fuse_embeds = None
+            if use_mem:
+                # start the a_t device->host copy NOW: the transfer
+                # begins the moment the step finishes on device, so by
+                # the time _post materializes it (after the other
+                # streams' host work) the d2h latency — ~40 ms on
+                # tunneled chips, larger than the device step itself —
+                # has already been paid off the critical path
+                try:
+                    st.a_t.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
             else:
                 with self.timer.stage("nav_device"):
                     logits, st.fuse_embeds, _ = \

@@ -128,6 +128,11 @@ class TrainArgs:
     # bench the candidates suffix is ~70% of tokens and the measured
     # A/B was neutral (12.9 vs 13.2 eps/s) — see docs/PERFORMANCE.md.
     prefix_cache: bool = False
+    # streaming-eval slot-group (pipeline) count. 2 keeps the chip busy
+    # when the host round trip is cheap; on tunneled/relay chips the
+    # per-step a_t download latency (~40 ms floor measured) exceeds the
+    # device step, and deeper pipelines (3-4 smaller groups) hide it.
+    eval_streams: int = 2
     # int8 weight-only LLM storage for EVAL runs (models/quant.py):
     # loads the checkpoint host-side, quantizes per output channel, and
     # uploads only the ~6.8 GB int8 tree — the 7B-on-16GB deployment
