@@ -147,7 +147,7 @@ def rollout_teacher_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         agent, args, steps=steps, gmaps=gmaps, traj=traj,
         instructions=instructions, data_type=data_type, B=B,
         train_ml=train_ml, loss_den=B, feedback="teacher",
-        fgr2r_steps=fgr2r_steps)
+        fgr2r_steps=fgr2r_steps, t_pad=max_action_len)
 
 
 def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
@@ -389,12 +389,12 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         agent, args, steps=steps, gmaps=gmaps, traj=traj,
         instructions=instructions, data_type=data_type, B=B,
         train_ml=train_ml, loss_den=loss_den, feedback="sample",
-        fgr2r_steps=[])
+        fgr2r_steps=[], t_pad=max_action_len)
 
 
 def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
                             data_type, B, train_ml, loss_den, feedback,
-                            fgr2r_steps):
+                            fgr2r_steps, t_pad=None):
     """Phases 2-6: the fused whole-trajectory loss pass (see module
     docstring). `steps` carries the phase-1 snapshots; for
     feedback='sample' each step additionally holds the sampled
@@ -464,73 +464,158 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
         return np.minimum(idx, n_live - 1), n_real
 
     pano_cat = {k: v[live_idx] for k, v in pano_cat.items()}
+    # DEVICE-RESIDENT REPLAY (r4): no host logic below branches on an
+    # embedding VALUE — the host only does index bookkeeping — so on
+    # the device-memory path the pano embeds stay in HBM, the memory
+    # replay + fusion + history run as ONE scanned executable
+    # (runner.replay_fuse_scan, composing the same memory_update /
+    # assemble_from_memory / hist_append the streaming evaluator uses),
+    # and phase 5 gathers its gmap/hist rows on chip. The host-replay
+    # form downloaded ~[T*B,V,H] pano + [n,G,H] fuse embeds and
+    # re-uploaded them as gmap/hist arrays every batch (~200 MB) —
+    # pure marshaling that dominated wall-clock on relay-attached
+    # chips (~14 MB/s d2h measured). use_mem=False keeps the host
+    # form (numerically identical; covered by the fallback tests).
+    use_dev = getattr(agent.runner, "device_memory", True)
+    H = agent.runner.cfg.hidden_size
+    V = steps[0]["pano_inputs"]["view_img_fts"].shape[1]
     pano_rngs = {}
-    pe_parts, pm_parts = [], []
+    pe_chunks = []                     # device path: (jax array, n_real)
+    pe_parts, pm_parts = [], []        # host path: np downloads
     with agent.timer.stage("pano_device"):
         for c0 in bounds:
             idx, n_real = chunk_idx(c0)
             pano_rngs[c0] = agent.runner._next_rng()
-            out = agent.runner.panorama(
-                {k: v[idx] for k, v in pano_cat.items()},
-                deterministic=False, rng=pano_rngs[c0])
-            pe_parts.append(out["pano_embeds"][:n_real])
-            pm_parts.append(out["pano_masks"][:n_real])
-    pe_live = np.concatenate(pe_parts, 0)
-    pm_live = np.concatenate(pm_parts, 0)
-    # scatter back to the [T, B] grid; dead rows are zeros with all-
-    # False masks (their values feed nothing: phase 3 skips ended rows,
-    # their fuse outputs are never read, their loss rows are dropped)
-    pano_embeds_flat = np.zeros((rows_total,) + pe_live.shape[1:],
-                                pe_live.dtype)
-    pano_embeds_flat[live_idx] = pe_live
-    pano_masks_flat = np.zeros((rows_total,) + pm_live.shape[1:], bool)
-    pano_masks_flat[live_idx] = pm_live
-    pano_embeds_all = pano_embeds_flat.reshape(
-        T, B, *pano_embeds_flat.shape[1:])
-    pano_masks_all = pano_masks_flat.reshape(T, B, -1)
+            if use_dev:
+                out = agent.runner.panorama_dev_dict(
+                    {k: v[idx] for k, v in pano_cat.items()},
+                    deterministic=False, rng=pano_rngs[c0])
+                pe_chunks.append((out["pano_embeds"], n_real))
+            else:
+                out = agent.runner.panorama(
+                    {k: v[idx] for k, v in pano_cat.items()},
+                    deterministic=False, rng=pano_rngs[c0])
+                pe_parts.append(out["pano_embeds"][:n_real])
+                pm_parts.append(out["pano_masks"][:n_real])
+    if use_dev:
+        pano_embeds_all = None
+        # masks are index data: arange < view_lens, no download needed.
+        # Rows dropped by compaction read all-False (the host form's
+        # scatter leaves them zero); with compaction off, ended rows
+        # keep their real masks exactly as the host form does.
+        pano_masks_all = np.zeros((T, B, V), bool)
+        for st_idx, step in enumerate(steps):
+            pano_masks_all[st_idx] = (
+                np.arange(V)[None, :]
+                < step["pano_inputs"]["view_lens"][:, None])
+            dead = ~row_live[st_idx * B: (st_idx + 1) * B]
+            pano_masks_all[st_idx][dead] = False
+    else:
+        pe_live = np.concatenate(pe_parts, 0)
+        pm_live = np.concatenate(pm_parts, 0)
+        # scatter back to the [T, B] grid; dead rows are zeros with all-
+        # False masks (their values feed nothing: phase 3 skips ended
+        # rows, their fuse outputs are never read, their loss rows are
+        # dropped)
+        pano_embeds_flat = np.zeros((rows_total,) + pe_live.shape[1:],
+                                    pe_live.dtype)
+        pano_embeds_flat[live_idx] = pe_live
+        pano_masks_flat = np.zeros((rows_total,) + pm_live.shape[1:], bool)
+        pano_masks_flat[live_idx] = pm_live
+        pano_embeds_all = pano_embeds_flat.reshape(
+            T, B, *pano_embeds_flat.shape[1:])
+        pano_masks_all = pano_masks_flat.reshape(T, B, -1)
 
     # ------------- phase 3: replay memory + assemble rows ----------------
-    # rebuild node embeddings step by step from the batched pano outputs
-    for i, g in enumerate(gmaps):
-        g._embed_sum.clear()
-        g._embed_cnt.clear()
-    H = agent.runner.cfg.hidden_size
+    # host path: rebuild node embeddings step by step from the batched
+    # pano outputs. device path: build the INDEX arrays (current node,
+    # candidate nodes, gmap-slot node ids) that drive the on-chip replay.
+    if not use_dev:
+        for i, g in enumerate(gmaps):
+            g._embed_sum.clear()
+            g._embed_cnt.clear()
+    T_pad = max(t_pad or T, T) if use_dev else T
+    # gmap arrays are allocated at dims.max_gmap_nodes (160, the 30-step
+    # CVDN bound); this batch only ever fills max-graph-size slots, so
+    # trim to a bucketed effective width — smaller fuse/grad executables
+    # AND a smaller scanned-replay emission (few shape buckets)
+    G_full = agent.dims.max_gmap_nodes
+    n_max = max((len(s["gmap_vpids"][i]) for s in steps for i in range(B)),
+                default=1)
+    G_eff = min(G_full, max(8, -(-n_max // 8) * 8))
+    if use_dev:
+        from .runner import MEM_CAPACITY as M
+        assert T_pad <= agent.dims.max_hist, (
+            f"max_action_len {T_pad} > max_hist {agent.dims.max_hist}: "
+            f"the device history buffer would overwrite its last slot")
+        cur_ids_g = np.full((T_pad, B), -1, np.int32)
+        cand_ids_g = np.full((T_pad, B, V), -1, np.int32)
+        slot_ids_g = np.full((T_pad, B, G_eff), -1, np.int32)
     with agent.timer.stage("nav_assemble"):
         for st_idx, step in enumerate(steps):
-            pe = pano_embeds_all[st_idx]
-            pm = pano_masks_all[st_idx]
-            denom = np.maximum(pm.sum(1, keepdims=True), 1)
-            avg = (pe * pm[..., None]).sum(1) / denom
             sobs = step["obs"]
-            for i in range(B):
-                if step["ended"][i]:
-                    continue
-                gmaps[i].update_node_embed(sobs[i]["viewpoint"], avg[i],
-                                           rewrite=True)
-                for j, cvp in enumerate(
-                        step["pano_inputs"]["cand_vpids"][i]):
-                    # visited status AT THIS STEP was captured in the
-                    # snapshot's visited mask via vpid ordering; a node is
-                    # embedding-updated unless it was already visited then
+            if use_dev:
+                pe = None
+                pm = pano_masks_all[st_idx]
+                for i in range(B):
+                    if step["ended"][i]:
+                        continue
+                    gidx = gmaps[i].graph.index
+                    cid = gidx.get(sobs[i]["viewpoint"], -1)
+                    cur_ids_g[st_idx, i] = cid if cid < M else -1
                     vps = step["gmap_vpids"][i]
-                    if cvp in vps:
-                        k = vps.index(cvp)
-                        if step["gmap_in"]["gmap_visited_masks"][i][k]:
-                            continue
-                    gmaps[i].update_node_embed(cvp, pe[i, j])
-            # fill node embeds into this step's gmap arrays
-            gin = step["gmap_in"]
-            for i in range(B):
-                for k, vp in enumerate(step["gmap_vpids"][i]):
-                    if k > 0 and vp is not None and \
-                            gmaps[i].has_node_embed(vp):
-                        gin["gmap_img_embeds"][i, k] = \
-                            gmaps[i].get_node_embed(vp)
+                    for j, cvp in enumerate(
+                            step["pano_inputs"]["cand_vpids"][i]):
+                        # visited status AT THIS STEP from the snapshot
+                        # mask (same rule as the host replay below)
+                        if cvp in vps:
+                            k = vps.index(cvp)
+                            if step["gmap_in"]["gmap_visited_masks"][i][k]:
+                                continue
+                        nid = gidx.get(cvp, -1)
+                        if 0 <= nid < M:
+                            cand_ids_g[st_idx, i, j] = nid
+                for i in range(B):
+                    gidx = gmaps[i].graph.index
+                    for k, vp in enumerate(step["gmap_vpids"][i]):
+                        if k > 0 and vp is not None:
+                            nid = gidx.get(vp, -1)
+                            if 0 <= nid < M:
+                                slot_ids_g[st_idx, i, k] = nid
+            else:
+                pe = pano_embeds_all[st_idx]
+                pm = pano_masks_all[st_idx]
+                denom = np.maximum(pm.sum(1, keepdims=True), 1)
+                avg = (pe * pm[..., None]).sum(1) / denom
+                for i in range(B):
+                    if step["ended"][i]:
+                        continue
+                    gmaps[i].update_node_embed(sobs[i]["viewpoint"], avg[i],
+                                               rewrite=True)
+                    for j, cvp in enumerate(
+                            step["pano_inputs"]["cand_vpids"][i]):
+                        # visited status AT THIS STEP was captured in the
+                        # snapshot's visited mask via vpid ordering; a node
+                        # is embedding-updated unless already visited then
+                        vps = step["gmap_vpids"][i]
+                        if cvp in vps:
+                            k = vps.index(cvp)
+                            if step["gmap_in"]["gmap_visited_masks"][i][k]:
+                                continue
+                        gmaps[i].update_node_embed(cvp, pe[i, j])
+                # fill node embeds into this step's gmap arrays
+                gin = step["gmap_in"]
+                for i in range(B):
+                    for k, vp in enumerate(step["gmap_vpids"][i]):
+                        if k > 0 and vp is not None and \
+                                gmaps[i].has_node_embed(vp):
+                            gin["gmap_img_embeds"][i, k] = \
+                                gmaps[i].get_node_embed(vp)
             vp_in = agent.nav_vp_inputs(sobs, gmaps, pe, pm,
                                         step["pano_inputs"]["cand_vpids"])
             match = agent.local_match_slots(
                 step["gmap_vpids"], vp_in["vp_cand_vpids"], gmaps,
-                width=vp_in["vp_img_embeds"].shape[1])
+                width=vp_in["pano_masks"].shape[1])
             # NOTE: local_match_slots checks CURRENT visited state; use the
             # snapshot mask instead
             for i in range(B):
@@ -547,57 +632,101 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
             step["vp_in"] = vp_in
             step["match"] = match
 
-    # ------------- phase 4: fusion-only for history embeddings -----------
+    # ------------- phase 4: fusion for history embeddings ----------------
     def cat_steps(getter):
         return np.concatenate([getter(s) for s in steps], 0)
 
-    fuse_batch = {
-        "gmap_img_embeds": cat_steps(lambda s: s["gmap_in"]["gmap_img_embeds"]),
-        "gmap_step_ids": cat_steps(lambda s: s["gmap_in"]["gmap_step_ids"]),
-        "gmap_pos_fts": cat_steps(lambda s: s["gmap_in"]["gmap_pos_fts"]),
-        "gmap_masks": cat_steps(lambda s: s["gmap_in"]["gmap_masks"]),
+    # fusion/nav inputs shared by phases 4 and 5, G trimmed to G_eff
+    fuse_host = {
+        "gmap_step_ids": cat_steps(
+            lambda s: s["gmap_in"]["gmap_step_ids"][:, :G_eff]),
+        "gmap_pos_fts": cat_steps(
+            lambda s: s["gmap_in"]["gmap_pos_fts"][:, :G_eff]),
+        "gmap_masks": cat_steps(
+            lambda s: s["gmap_in"]["gmap_masks"][:, :G_eff]),
         "gmap_visited_masks": cat_steps(
-            lambda s: s["gmap_in"]["gmap_visited_masks"]),
-        "vp_img_embeds": cat_steps(lambda s: s["vp_in"]["vp_img_embeds"]),
+            lambda s: s["gmap_in"]["gmap_visited_masks"][:, :G_eff]),
         "vp_pos_fts": cat_steps(lambda s: s["vp_in"]["vp_pos_fts"]),
         "pano_masks": cat_steps(lambda s: s["vp_in"]["pano_masks"]),
         "local_match_slot": cat_steps(lambda s: s["match"]),
     }
-    # fusion runs over LIVE rows only (a history append at (t, i)
-    # requires target != ignoreid, which implies the row is live).
-    # Rows pad up to a multiple of the grad-chunk width by repeating
-    # the last live row: n_live varies almost arbitrarily per batch,
-    # and an unpadded call would compile a fresh executable per new
-    # count (the same reason phases 2/5 run fixed-width chunks).
-    n_fuse = -(-n_live // chunk) * chunk
-    fuse_sel = np.minimum(np.arange(n_fuse), n_live - 1)
-    fuse_batch = {k: v[live_idx][fuse_sel] for k, v in fuse_batch.items()}
-    with agent.timer.stage("fuse_device"):
-        fuse_live = agent.runner.fuse_embeds_only(fuse_batch)[:n_live]
-
-    # history: hist_vis[t] for episode i = fuse row of (t', i), slot
-    # act_{t'}, for t' < t (appended for every non-ignored step —
-    # matching rollout's history loop over a_t != ignoreid; under
-    # sample feedback act is the SAMPLED action)
     Hh = agent.dims.max_hist
-    hist_embeds_live = np.zeros((n_live, Hh, H), np.float32)
     hist_counts = np.zeros((T, B), np.int32)
-    hist_store = [[] for _ in range(B)]
-    for st_idx, step in enumerate(steps):
-        for i in range(B):
-            hist_counts[st_idx, i] = len(hist_store[i])
-            row = compact_of[st_idx * B + i]
-            if row < 0:
-                continue
-            tail = hist_store[i][-Hh:]
-            for k, v in enumerate(tail):
-                hist_embeds_live[row, k] = v
-        acts = step["actions"] if feedback == "sample" else step["targets"]
-        for i in range(B):
-            a = acts[i]
-            row = compact_of[st_idx * B + i]
-            if a != args.ignoreid and row >= 0:
-                hist_store[i].append(fuse_live[row, a])
+    if use_dev:
+        # history bookkeeping is host ARITHMETIC (counts + append
+        # actions); the appended VALUES stay on device in the scan
+        acts_g = np.full((T_pad, B), -1, np.int32)
+        cnt = np.zeros(B, np.int32)
+        for st_idx, step in enumerate(steps):
+            hist_counts[st_idx] = cnt
+            acts = step["actions"] if feedback == "sample" \
+                else step["targets"]
+            for i in range(B):
+                a = int(acts[i])
+                if a != args.ignoreid and compact_of[st_idx * B + i] >= 0:
+                    acts_g[st_idx, i] = a
+                    cnt[i] += 1
+        import jax.numpy as jnp
+        pe_live_dev = jnp.concatenate(
+            [pe[:n] for pe, n in pe_chunks], axis=0)
+        # per-step fusion inputs stacked [T_pad, B, ...] for the scan
+        def stack_pad(flat, fill=0):
+            a = flat.reshape((T, B) + flat.shape[1:])
+            if T_pad == T:
+                return a
+            pad = np.full((T_pad - T, B) + flat.shape[1:], fill, a.dtype)
+            return np.concatenate([a, pad], 0)
+        fuse_sts = {k: stack_pad(v) for k, v in fuse_host.items()}
+        pm_grid = np.zeros((T_pad, B, V), bool)
+        pm_grid[:T] = pano_masks_all
+        with agent.timer.stage("fuse_device"):
+            gmap_flat, hist_flat, mem_final = agent.runner.replay_fuse_scan(
+                pe_live_dev, live_idx, T_pad, pm_grid, cur_ids_g,
+                cand_ids_g, slot_ids_g, fuse_sts, acts_g)
+        hist_embeds_live = None
+        hist_store = None
+        final_cnt = cnt
+    else:
+        fuse_batch = dict(fuse_host)
+        fuse_batch["gmap_img_embeds"] = cat_steps(
+            lambda s: s["gmap_in"]["gmap_img_embeds"][:, :G_eff])
+        fuse_batch["vp_img_embeds"] = cat_steps(
+            lambda s: s["vp_in"]["vp_img_embeds"])
+        # fusion runs over LIVE rows only (a history append at (t, i)
+        # requires target != ignoreid, which implies the row is live).
+        # Rows pad up to a multiple of the grad-chunk width by repeating
+        # the last live row: n_live varies almost arbitrarily per batch,
+        # and an unpadded call would compile a fresh executable per new
+        # count (the same reason phases 2/5 run fixed-width chunks).
+        n_fuse = -(-n_live // chunk) * chunk
+        fuse_sel = np.minimum(np.arange(n_fuse), n_live - 1)
+        fuse_batch = {k: v[live_idx][fuse_sel]
+                      for k, v in fuse_batch.items()}
+        with agent.timer.stage("fuse_device"):
+            fuse_live = agent.runner.fuse_embeds_only(fuse_batch)[:n_live]
+
+        # history: hist_vis[t] for episode i = fuse row of (t', i), slot
+        # act_{t'}, for t' < t (appended for every non-ignored step —
+        # matching rollout's history loop over a_t != ignoreid; under
+        # sample feedback act is the SAMPLED action)
+        hist_embeds_live = np.zeros((n_live, Hh, H), np.float32)
+        hist_store = [[] for _ in range(B)]
+        for st_idx, step in enumerate(steps):
+            for i in range(B):
+                hist_counts[st_idx, i] = len(hist_store[i])
+                row = compact_of[st_idx * B + i]
+                if row < 0:
+                    continue
+                tail = hist_store[i][-Hh:]
+                for k, v in enumerate(tail):
+                    hist_embeds_live[row, k] = v
+            acts = step["actions"] if feedback == "sample" \
+                else step["targets"]
+            for i in range(B):
+                a = acts[i]
+                row = compact_of[st_idx * B + i]
+                if a != args.ignoreid and row >= 0:
+                    hist_store[i].append(fuse_live[row, a])
 
     # ------------- phase 5: one navigation LLM loss+grad call ------------
     # prompts/targets/hist rows are built for LIVE rows only (compact
@@ -632,19 +761,23 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
                 cls_token=CLS_TOKEN_TEXT))
     tok_batch, cand_pos, hist_pos, cls_pos = \
         agent.runner.tokenize_with_positions(prompts)
-    nav_batch = dict(fuse_batch)            # already live-compacted
+    # live-compacted host nav inputs; gmap_img_embeds / hist_embeds are
+    # DEVICE gathers on the memory path (added per chunk below)
+    nav_batch = {k: v[live_idx] for k, v in fuse_host.items()}
     nav_batch.update({
         "cand_order": np.stack(orders),
         "cand_positions": cand_pos,
         "hist_positions": hist_pos,
-        "hist_embeds": hist_embeds_live,
         "input_ids": tok_batch.input_ids,
         "attention_mask": tok_batch.attention_mask,
         "cls_pos": cls_pos,
     })
+    if not use_dev:
+        nav_batch["gmap_img_embeds"] = \
+            fuse_batch["gmap_img_embeds"][:n_live]
+        nav_batch["hist_embeds"] = hist_embeds_live
     targets = np.concatenate([s["targets"] for s in steps], 0)[live_idx]
     coef = train_ml / loss_den / args.gradient_accumulation_step
-    del nav_batch["vp_img_embeds"]
     ml_loss = 0.0
     with agent.timer.stage("nav_device"):
         # async dispatch per chunk: no outputs downloaded, loss stays a
@@ -655,17 +788,42 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
             real = np.arange(c0, c0 + chunk) < n_live
             part_tgt = np.where(real, targets[idx], args.ignoreid) \
                 .astype(targets.dtype)
+            chunk_batch = {k: v[idx] for k, v in nav_batch.items()}
+            if use_dev:
+                rows = jnp.asarray(live_idx[idx])
+                chunk_batch["gmap_img_embeds"] = \
+                    jnp.take(gmap_flat, rows, axis=0)
+                chunk_batch["hist_embeds"] = \
+                    jnp.take(hist_flat, rows, axis=0)
             _, _, _, _, loss_c = agent.runner.pano_navigation_train(
                 {k: v[idx] for k, v in pano_cat.items()}, pano_rngs[c0],
-                {k: v[idx] for k, v in nav_batch.items()}, part_tgt,
-                coef, need_outputs=False)
+                chunk_batch, part_tgt, coef, need_outputs=False)
             ml_loss = ml_loss + loss_c
 
     # ------------- sub-task heads ----------------------------------------
     final = steps[-1]
-    history_final = [["<hist>"] * int(len(hist_store[i]))
-                     for i in range(B)]
-    hist_vis_final = hist_store
+    if use_dev:
+        history_final = [["<hist>"] * int(final_cnt[i]) for i in range(B)]
+        hist_vis_final = None
+        need_hist_vals = (
+            (data_type[0] in ("soon", "reverie") and args.enable_og)
+            or data_type[0] == "eqa"
+            or (feedback == "teacher" and args.enable_summarize
+                and data_type[0] in ("r2r", "soon", "reverie", "r2r_aug",
+                                     "reverie_aug")))
+        if need_hist_vals:
+            # the heads consume history VALUES — one small download of
+            # the final device history buffer (the only embed download
+            # left on this path, and only when a head actually runs)
+            hb = np.asarray(mem_final["hist_buf"])
+            hist_vis_final = [
+                [hb[i, k] for k in range(min(int(final_cnt[i]),
+                                             hb.shape[1]))]
+                for i in range(B)]
+    else:
+        history_final = [["<hist>"] * int(len(hist_store[i]))
+                         for i in range(B)]
+        hist_vis_final = hist_store
     if data_type[0] in ("soon", "reverie") and args.enable_og:
         ml_loss += agent._object_grounding_step(
             args, final["obs"], gmaps, final["gmap_in"], instructions,

@@ -40,6 +40,11 @@ def _useful_tokens(batch: Dict[str, Any], mask_key: str = "attention_mask",
     return float(np.asarray(batch[ids_key]).size)
 
 
+# device graph-memory node capacity (per-episode stable node ids; ids
+# beyond it fall back to -1 = not-memorized, same as the eval path)
+MEM_CAPACITY = 256
+
+
 @dataclasses.dataclass(frozen=True)
 class RolloutDims:
     """Static padded sizes for the rollout's device batches.
@@ -350,6 +355,45 @@ class NavModelRunner:
             fuse, cand_masks = NM.fuse_gmap_local(params, cfg, batch)
             return fuse
 
+        @jax.jit
+        def replay_fuse_scan_fn(params, state, pe_grid, pm_grid, cur_ids,
+                                cand_ids, slot_ids, fuse_sts, acts):
+            """Device-resident replay of a trajectory batch (the fused
+            trainer's phases 3-4 in ONE executable): per step, memory
+            update -> gmap/vp assembly -> graph/local fusion -> history
+            append — the same primitives the streaming evaluator runs
+            per step (device_memory.py), scanned over the step axis so
+            the embeddings never visit the host (the host-replay form
+            downloaded every pano embed and re-uploaded every gmap/hist
+            array; on relay-attached chips that marshaling dominated
+            training wall-clock).
+
+            pe_grid [T,B,V,H]; pm_grid [T,B,V]; cur_ids [T,B];
+            cand_ids [T,B,V]; slot_ids [T,B,G]; fuse_sts: dict of
+            [T,B,...] fusion inputs (gmap_step_ids/pos/masks/visited,
+            vp_pos_fts, pano_masks, local_match_slot); acts [T,B]
+            (-1 = no history append). Steps padded past the real T use
+            -1 ids/acts: memory and history are untouched and their
+            emitted rows are never gathered. Returns
+            (gmap_seq [T,B,G,H], hist_seq [T,B,Hh,H], final_state) with
+            hist_seq[t] the history BEFORE step t's append — exactly
+            the embeddings the loss pass at step t conditions on."""
+            def body(st, xs):
+                pe, pm, cur, cand, slots, fin, a = xs
+                st = DM.memory_update(st, pe, pm, cur, cand)
+                gmap, vp = DM.assemble_from_memory(st, slots, pe)
+                full = dict(fin)
+                full["gmap_img_embeds"] = gmap
+                full["vp_img_embeds"] = vp
+                fuse, _ = NM.fuse_gmap_local(params, cfg, full)
+                ys = (gmap, st["hist_buf"])
+                st = DM.hist_append(st, fuse, a)
+                return st, ys
+            final, (gmap_seq, hist_seq) = jax.lax.scan(
+                body, state, (pe_grid, pm_grid, cur_ids, cand_ids,
+                              slot_ids, fuse_sts, acts))
+            return gmap_seq, hist_seq, final
+
         # ---- device-resident rollout memory (agents/device_memory.py) ----
         from . import device_memory as DM
 
@@ -464,6 +508,7 @@ class NavModelRunner:
         self._gen_train_cot_fn = gen_train_cot_fn
         self._og_train_cot_fn = og_train_cot_fn
         self._fuse_only_fn = fuse_only_fn
+        self._replay_fuse_scan_fn = replay_fuse_scan_fn
         self._mem_update_fn = mem_update_fn
         self._mem_reset_fn = mem_reset_fn
         self._nav_mem_infer_fn = nav_mem_infer_fn
@@ -492,6 +537,42 @@ class NavModelRunner:
                                  self._pano_dev_inputs(pano_inputs),
                                  deterministic=deterministic)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def panorama_dev_dict(self, pano_inputs: Dict[str, np.ndarray],
+                          deterministic: bool, rng=None):
+        """panorama() without the download: the full output dict stays
+        on device (jax arrays). The fused trainer's replay consumes the
+        embeddings on chip (replay_fuse_scan), so materializing them —
+        ~14 MB/chunk over a relay measured at ~14 MB/s d2h — would be
+        pure waste."""
+        rng = rng if rng is not None else self._next_rng()
+        return self._pano_dict_fn(self.params, rng,
+                                  self._pano_dev_inputs(pano_inputs),
+                                  deterministic=deterministic)
+
+    def replay_fuse_scan(self, pe_live, live_rows, t_pad, pm_grid, cur_ids,
+                         cand_ids, slot_ids, fuse_sts, acts):
+        """Scatter the compact live-row pano embeds onto the [T*B] grid
+        (eager device ops — n_live varies per batch and must not leak
+        into the scan's compiled shape), then run the scanned replay.
+        Returns (gmap_flat [T*B,G,H], hist_flat [T*B,Hh,H], final_state)
+        as DEVICE arrays."""
+        t_pad, b = np.asarray(cur_ids).shape
+        v, h = pe_live.shape[1], pe_live.shape[2]
+        grid = jnp.zeros((t_pad * b, v, h), pe_live.dtype)
+        grid = grid.at[jnp.asarray(live_rows)].set(pe_live)
+        pe_grid = grid.reshape(t_pad, b, v, h)
+        state0 = self.memory_init(b)
+        gmap_seq, hist_seq, final = self._replay_fuse_scan_fn(
+            self.params, state0, pe_grid, jnp.asarray(pm_grid),
+            jnp.asarray(cur_ids), jnp.asarray(cand_ids),
+            jnp.asarray(slot_ids),
+            {k: jnp.asarray(val) for k, val in fuse_sts.items()},
+            jnp.asarray(acts))
+        g = gmap_seq.shape[2]
+        hh = hist_seq.shape[2]
+        return (gmap_seq.reshape(t_pad * b, g, h),
+                hist_seq.reshape(t_pad * b, hh, h), final)
 
     def pano_navigation_train(self, pano_inputs, rng, batch, targets,
                               coef: float, need_outputs: bool = True):
@@ -631,9 +712,10 @@ class NavModelRunner:
         return np.asarray(self._og_infer_fn(self.params, dev)), 0.0
 
     # ---------- device-resident rollout memory API ---------------------- #
-    def memory_init(self, batch: int, capacity: int = 256):
+    def memory_init(self, batch: int, capacity: int = None):
         from . import device_memory as DM
-        return DM.init_memory(batch, capacity, self.dims.max_hist,
+        return DM.init_memory(batch, capacity or MEM_CAPACITY,
+                              self.dims.max_hist,
                               self.cfg.hidden_size, jnp.float32)
 
     def panorama_device(self, pano_inputs: Dict[str, np.ndarray],
