@@ -364,8 +364,9 @@ def bench_rollout(args):
     v, tok_per_s = max(windows)
     med = statistics.median(w[0] for w in windows)
     tf = tok_per_s * llm_flops_per_token(cfg.llm) / 1e12
+    n_streams = getattr(targs, "eval_streams", 2)
     return {"metric": f"episodes/sec (streaming greedy eval, 1 chip, "
-                      f"{_scale_tag(args)})",
+                      f"{_scale_tag(args)}, {n_streams}x{n_slots} slots)",
             "value": round(v, 3), "unit": "episodes/sec",
             "vs_baseline": round(v / REF_EPISODES_PER_SEC_PER_CHIP, 3),
             "median": round(med, 3),
@@ -578,6 +579,36 @@ def chip_calibration():
         return None
 
 
+def link_calibration():
+    """Measure the host<->device link: d2h latency floor (fresh 64 B
+    download) and d2h bandwidth (4 MB). On the tunneled dev chip these
+    swing far more than matmul throughput across sessions (38 ms / ~14
+    MB/s measured on a bad day vs sub-ms on a good one) and they bound
+    the streaming eval's per-step a_t sync and any embed download —
+    recorded in the bench JSON so a session's e2e/ MFU gap is
+    attributable. Matmul calibration cannot see this."""
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    try:
+        f = jax.jit(lambda x: x + 1)
+        lats, bws = [], []
+        small = np.zeros((16,), np.float32)
+        big = np.zeros((1 << 20,), np.float32)          # 4 MB
+        for i in range(4):
+            b = f(jnp.asarray(small + i)); b.block_until_ready()
+            t0 = _t.perf_counter(); np.asarray(b)
+            lats.append(_t.perf_counter() - t0)
+            c = f(jnp.asarray(big + i)); c.block_until_ready()
+            t0 = _t.perf_counter(); np.asarray(c)
+            bws.append(4.0 / 1024 / max(_t.perf_counter() - t0, 1e-9))
+        return {"d2h_latency_ms": round(sorted(lats)[2] * 1e3, 1),
+                "d2h_gbps": round(sorted(bws)[1], 3)}
+    except Exception:
+        return None
+
+
 # the round-2 recorded calibration; vs_baseline_calnorm rescales to it
 # so cross-round ratios compare architectures, not chip-share luck
 CAL_REF_TFLOPS = 85.3
@@ -615,6 +646,10 @@ def bench_all(args):
         # a single process-level calibration can mis-normalize anchors
         # that run many minutes later
         cal_a = chip_calibration()
+        link_a = link_calibration()
+        if link_a:
+            print(f"[bench] link: d2h latency {link_a['d2h_latency_ms']} ms, "
+                  f"{link_a['d2h_gbps']} GB/s", file=sys.stderr)
         try:
             out = {"train_step": bench_train_step, "rollout": bench_rollout,
                    "decode": bench_decode,
@@ -623,6 +658,8 @@ def bench_all(args):
             print(f"[bench] {mode}/{model} FAILED: {type(e).__name__}: {e}",
                   file=sys.stderr)
             return None
+        if link_a:
+            out.update(link_a)
         if cal_a:
             out["calibration_tflops"] = cal_a
             out["vs_baseline_calnorm"] = round(
@@ -648,9 +685,24 @@ def bench_all(args):
     # kv8 and w4 both measured as eval regressions on chip (r3/r4
     # sweeps; see docs/PERFORMANCE.md) so neither enters the headline
     # config; w4 A/B rows are recorded at the end of this list.
+    #
+    # TWO headline candidates, best wins: 4x8 slot groups hide the
+    # per-step d2h sync behind a deeper pipeline (the winner whenever
+    # the link is slow — the r4 sweep measured 8.15 vs 6.80 eps/s on a
+    # ~40 ms-latency session), 2x16 amortizes per-call overheads into
+    # bigger device steps (the winner on a healthy local link). A
+    # time-shared relay must not get to pick the architecture's number.
     anchors["rollout_7b"] = run("rollout_7b", "rollout", "7b",
                                 prefix_cache=True, a8=True,
+                                eval_streams=4, batch=8,
                                 iters=args.iters)
+    anchors["rollout_7b_2x16"] = run("rollout_7b_2x16", "rollout", "7b",
+                                     prefix_cache=True, a8=True,
+                                     eval_streams=2, batch=16,
+                                     iters=args.iters)
+    a, b = anchors.get("rollout_7b"), anchors.get("rollout_7b_2x16")
+    if a and b and b["value"] > a["value"]:
+        anchors["rollout_7b"], anchors["rollout_7b_2x16"] = b, a
     anchors["decode_7b"] = run("decode_7b", "decode", "7b", a8=True)
     anchors["train_e2e_proxy"] = run("train_e2e_proxy", "train_e2e",
                                      "proxy")
@@ -708,7 +760,10 @@ def _arm_watchdog(deadline_s: float):
                "error": f"exceeded {deadline_s:.0f}s "
                         f"(NAVILLM_BENCH_DEADLINE_S); anchors completed "
                         f"before the hang are attached"}
-        head = partial.get("rollout_7b") or partial.get("rollout_proxy")
+        cands = [partial[k] for k in ("rollout_7b", "rollout_7b_2x16")
+                 if partial.get(k)]
+        head = (max(cands, key=lambda x: x.get("value", 0)) if cands
+                else partial.get("rollout_proxy"))
         if head:   # a completed headline anchor beats the error stub
             out.update({k: head[k] for k in
                         ("metric", "value", "unit", "vs_baseline")})

@@ -675,11 +675,17 @@ class MP3DAgent:
         # the chip busy — sweepable via args.eval_streams.
         n_streams = _n_streams if use_mem else 1
 
+        from concurrent.futures import ThreadPoolExecutor
+        reader = (ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="a_t_reader")
+                  if use_mem else None)
+
         class Stream:
             __slots__ = ("slots", "mem_state", "reset_rows", "pending",
                          "pano_inputs", "gmap_in", "nav_batch", "cur_ids",
                          "cand_ids", "real_mask", "a_t_override", "a_t",
-                         "fuse_embeds", "cache", "prefill_items")
+                         "a_t_future", "fuse_embeds", "cache",
+                         "prefill_items")
 
         streams: List[Stream] = []
         for _ in range(n_streams):
@@ -948,11 +954,19 @@ class MP3DAgent:
                 # the time _post materializes it (after the other
                 # streams' host work) the d2h latency — ~40 ms on
                 # tunneled chips, larger than the device step itself —
-                # has already been paid off the critical path
+                # has already been paid off the critical path.
                 try:
                     st.a_t.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
                     pass
+                # ALSO materialize on a reader thread: if the runtime's
+                # async copy is a no-op (relay backends), np.asarray in
+                # _post would serialize the full d2h latency into the
+                # single host thread, once per group-step. np.asarray
+                # releases the GIL during the transfer, so the reader
+                # overlaps the other streams' host work either way.
+                st.a_t_future = (reader.submit(np.asarray, st.a_t)
+                                 if reader is not None else None)
             else:
                 with self.timer.stage("nav_device"):
                     logits, st.fuse_embeds, _ = \
@@ -972,7 +986,9 @@ class MP3DAgent:
             the per-slot host work (stop handling, refill, env step)."""
             st.pending = False
             with self.timer.stage("nav_sync"):
-                a_t = np.asarray(st.a_t)
+                fut = getattr(st, "a_t_future", None)
+                a_t = fut.result() if fut is not None else np.asarray(st.a_t)
+                st.a_t_future = None
             gmap_in = st.gmap_in
             nav_vpids = gmap_in["gmap_vpids"]
             st.reset_rows = np.zeros(len(st.slots), bool)
@@ -1030,24 +1046,28 @@ class MP3DAgent:
 
         # prime the pipeline: each stream's first step is dispatched
         # before any result is awaited
-        for st in streams:
-            if _pre(st):
-                _dispatch(st)
-        while True:
-            progressed = False
+        try:
             for st in streams:
-                if not st.pending:
-                    continue
-                progressed = True
-                _post(st)
                 if _pre(st):
                     _dispatch(st)
-            if not progressed:
-                break
-            flush_og()
-            flush_gen()
-        flush_og(force=True)
-        flush_gen(force=True)
+            while True:
+                progressed = False
+                for st in streams:
+                    if not st.pending:
+                        continue
+                    progressed = True
+                    _post(st)
+                    if _pre(st):
+                        _dispatch(st)
+                if not progressed:
+                    break
+                flush_og()
+                flush_gen()
+            flush_og(force=True)
+            flush_gen(force=True)
+        finally:
+            if reader is not None:
+                reader.shutdown(wait=True)
         return get_results(results)
 
     def _streaming_generation(self, args, snaps, n_real, trie, results):

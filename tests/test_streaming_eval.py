@@ -52,6 +52,43 @@ def test_streaming_covers_all_episodes(train_args, task_config, data_dir,
     assert 0.0 <= avg["sr"] <= 100.0
 
 
+def test_streaming_deep_pipeline_covers_and_is_deterministic(
+        train_args, task_config, data_dir, runner, optim_cfg):
+    """eval_streams != 2 (the latency-hiding knob for slow-link chips):
+    every episode is still evaluated exactly once through the
+    refill/reset/prefix-cache bookkeeping at non-default pipeline
+    depths, and a repeat run with the same rngs is bit-identical.
+    (Trajectory equality ACROSS stream counts is not an invariant: the
+    shared np_rng's candidate-permutation draws interleave in stream
+    order.)"""
+    args = train_args
+    args.image_feat_size = runner.cfg.pano.image_feat_size
+    args.obj_feat_size = runner.cfg.pano.obj_feat_size
+    args.val_batch_size = 2
+    args.prefix_cache = True
+    world = WorldModel(str(data_dir / "connectivity"))
+    ds = load_dataset("r2r", args, task_config, training=False, source="R2R",
+                      world=world)
+    ds.init_feat_db(SyntheticImageFeaturesDB(runner.cfg.pano.image_feat_size))
+    agent = load_agent("r2r", args, world, runner)
+
+    def run(streams):
+        args.eval_streams = streams
+        agent.runner.rng = jax.random.PRNGKey(5)
+        agent.np_rng = np.random.RandomState(11)
+        preds = agent.validate_streaming(
+            "R2R", args, optim_cfg, Dataloader(ds, batch_size=2,
+                                               shuffle=False), dataset=ds)
+        return {p["instr_id"]: p["trajectory"] for p in preds}
+
+    all_ids = {x["instr_id"] for x in ds.alldata}
+    for streams in (1, 3):
+        first = run(streams)
+        assert set(first) == all_ids
+        assert run(streams) == first
+    args.eval_streams = 2
+
+
 def test_streaming_matches_batched_single_slot(train_args, task_config,
                                                data_dir, runner, optim_cfg):
     """With one slot and bs=1, the RNG stream and per-step math match the
