@@ -519,6 +519,93 @@ def bench_decode(args):
                           int8_matmuls=_use_a8(args))}
 
 
+def bench_extract(args):
+    """Offline feature-extraction throughput (VERDICT r3 #8). Two
+    component rates + a pipeline projection:
+
+      decode_img_per_s_core  host JPEG decode + resize + normalize at
+                             the reference's 640x480 render size
+                             (extract_features_mp3d.py renders WIDTH=
+                             640 HEIGHT=480) — the stage the reference
+                             fans out across Ray actors and
+                             ParallelFeatureExtractor fans out across
+                             spawned workers (1 rate per core).
+      device_img_per_s       jitted EVA02-CLIP-L/14-336-dim ViT forward
+                             (vision/vit.py), batch 36 (one panorama).
+
+    The extraction pipeline overlaps host decode with the device
+    forward (bounded queues), so the sustained rate is
+    min(decode*cores, device); full-MP3D wall-clock is projected for
+    this 1-core host and an 8-core TPU-VM host over 10,567 viewpoints
+    x 36 views. vs_baseline compares the device forward against an
+    ESTIMATED ~400 img/s EVA02-L fp16 forward per A100 (the reference
+    publishes no extraction throughput) — labeled 'vs estimate'.
+    """
+    import tempfile
+
+    import jax
+    import numpy as np
+    from navillm_tpu.vision.extract import preprocess_image
+    from navillm_tpu.vision.vit import (ViTConfig, init_vit_params,
+                                        vit_forward_features)
+    from PIL import Image
+
+    cfg = (ViTConfig.tiny() if args.debug
+           else ViTConfig.eva02_clip_l_14_336())
+    src_hw = (48, 64) if args.debug else (480, 640)
+    n_imgs = 6 if args.debug else 24
+
+    # (a) host decode+preprocess rate on one core
+    rng = np.random.RandomState(0)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i in range(n_imgs):
+            arr = (rng.rand(*src_hw, 3) * 255).astype(np.uint8)
+            p = Path(td) / f"v{i}.jpg"
+            Image.fromarray(arr).save(p, quality=90)
+            paths.append(p)
+        for p in paths[:2]:     # warm PIL/codec paths
+            preprocess_image(Image.open(p).convert("RGB"), cfg.image_size)
+        ts = []
+        for _ in range(2 if args.debug else 3):
+            t0 = time.perf_counter()
+            for p in paths:
+                preprocess_image(Image.open(p).convert("RGB"),
+                                 cfg.image_size)
+            ts.append(time.perf_counter() - t0)
+        decode_rate = n_imgs / min(ts)
+
+    # (b) device ViT forward rate at one-panorama batches
+    b = 36
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    fwd = jax.jit(lambda p, x: vit_forward_features(p, cfg, x))
+    import jax.numpy as jnp
+    batch = jnp.asarray(rng.rand(b, cfg.image_size, cfg.image_size, 3)
+                        .astype(np.float32))
+    fwd(params, batch).block_until_ready()
+    iters = 2 if args.debug else 6
+    dts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fwd(params, batch).block_until_ready()
+        dts.append(time.perf_counter() - t0)
+    device_rate = b / min(dts)
+
+    mp3d_imgs = 10_567 * 36
+    rate_1core = min(decode_rate, device_rate)
+    rate_8core = min(decode_rate * 8, device_rate)
+    tag = "debug-tiny ViT" if args.debug else "EVA02-L/14-336"
+    return {"metric": f"extraction images/sec ({tag} device fwd, b={b})"
+                      + ("" if args.debug else ", vs estimate"),
+            "value": round(device_rate, 2), "unit": "images/sec",
+            "vs_baseline": round(device_rate / 400.0, 3),
+            "decode_img_per_s_core": round(decode_rate, 2),
+            "pipeline_img_per_s_1core": round(rate_1core, 2),
+            "pipeline_img_per_s_8core": round(rate_8core, 2),
+            "mp3d_hours_1core": round(mp3d_imgs / rate_1core / 3600, 2),
+            "mp3d_hours_8core": round(mp3d_imgs / rate_8core / 3600, 2)}
+
+
 def device_preflight(timeout_s: float = 240.0):
     """Probe jax backend init in a SUBPROCESS before this process
     touches jax. If the tunneled TPU's relay daemon is dead, backend
@@ -782,7 +869,7 @@ def main():
     ap.add_argument("--debug", action="store_true")
     ap.add_argument("--mode", default="all",
                     choices=["all", "train_step", "rollout", "decode",
-                             "train_e2e"])
+                             "train_e2e", "extract"])
     ap.add_argument("--model", default="proxy",
                     choices=["proxy", "7b"],
                     help="proxy: 1.3B stand-in; 7b: true Vicuna-7B dims (eval modes)")
@@ -857,7 +944,7 @@ def main():
         args.mode = "rollout"   # debug smoke: one cheap mode
     fn = {"all": bench_all, "train_step": bench_train_step,
           "rollout": bench_rollout, "decode": bench_decode,
-          "train_e2e": bench_train_e2e}[args.mode]
+          "train_e2e": bench_train_e2e, "extract": bench_extract}[args.mode]
     out = fn(args)
     if watchdog is not None:
         watchdog.cancel()
