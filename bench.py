@@ -773,23 +773,25 @@ def bench_all(args):
     # sweeps; see docs/PERFORMANCE.md) so neither enters the headline
     # config; w4 A/B rows are recorded at the end of this list.
     #
-    # TWO headline candidates, best wins: 4x8 slot groups hide the
-    # per-step d2h sync behind a deeper pipeline (the winner whenever
-    # the link is slow — the r4 sweep measured 8.15 vs 6.80 eps/s on a
-    # ~40 ms-latency session), 2x16 amortizes per-call overheads into
-    # bigger device steps (the winner on a healthy local link). A
+    # TWO headline candidates, best wins: 8x4 slot groups pipeline
+    # deepest (the r4 on-HEAD sweep measured 8x4 -> 9.40, 6x8 -> 9.02,
+    # 4x8 -> 9.13, 2x16 -> 8.00 eps/s same session with the merged
+    # window — the d2h sync is hidden best by more, smaller groups),
+    # 4x8 is the fallback with bigger per-call batches (the winner on
+    # an earlier ~40 ms-latency degraded-link session at 8.15 eps/s).
+    # 2x16 was dominated by both on HEAD and left the race. A
     # time-shared relay must not get to pick the architecture's number.
     anchors["rollout_7b"] = run("rollout_7b", "rollout", "7b",
                                 prefix_cache=True, a8=True,
-                                eval_streams=4, batch=8,
+                                eval_streams=8, batch=4,
                                 iters=args.iters)
-    anchors["rollout_7b_2x16"] = run("rollout_7b_2x16", "rollout", "7b",
-                                     prefix_cache=True, a8=True,
-                                     eval_streams=2, batch=16,
-                                     iters=args.iters)
-    a, b = anchors.get("rollout_7b"), anchors.get("rollout_7b_2x16")
+    anchors["rollout_7b_4x8"] = run("rollout_7b_4x8", "rollout", "7b",
+                                    prefix_cache=True, a8=True,
+                                    eval_streams=4, batch=8,
+                                    iters=args.iters)
+    a, b = anchors.get("rollout_7b"), anchors.get("rollout_7b_4x8")
     if a and b and b["value"] > a["value"]:
-        anchors["rollout_7b"], anchors["rollout_7b_2x16"] = b, a
+        anchors["rollout_7b"], anchors["rollout_7b_4x8"] = b, a
     anchors["decode_7b"] = run("decode_7b", "decode", "7b", a8=True)
     anchors["train_e2e_proxy"] = run("train_e2e_proxy", "train_e2e",
                                      "proxy")
@@ -847,7 +849,7 @@ def _arm_watchdog(deadline_s: float):
                "error": f"exceeded {deadline_s:.0f}s "
                         f"(NAVILLM_BENCH_DEADLINE_S); anchors completed "
                         f"before the hang are attached"}
-        cands = [partial[k] for k in ("rollout_7b", "rollout_7b_2x16")
+        cands = [partial[k] for k in ("rollout_7b", "rollout_7b_4x8")
                  if partial.get(k)]
         head = (max(cands, key=lambda x: x.get("value", 0)) if cands
                 else partial.get("rollout_proxy"))
