@@ -316,7 +316,7 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             override = np.full(B, -1, np.int32)
             if forced_actions is not None:
                 override = np.asarray(forced_actions[t], np.int32)
-            with agent.timer.stage("nav_device"):
+            with agent.timer.stage("dagger_sample"):
                 # on-device categorical sampling (same temperature-
                 # softmax distribution as the host path; the draw uses
                 # the runner's jax rng stream instead of np_rng)
@@ -332,7 +332,7 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             nav_batch["gmap_img_embeds"] = gmap_in["gmap_img_embeds"]
             nav_batch["vp_img_embeds"] = vp_in["vp_img_embeds"]
             nav_batch["hist_embeds"] = agent.hist_arrays(hist_vis_eval)
-            with agent.timer.stage("nav_device"):
+            with agent.timer.stage("dagger_sample"):
                 logits, fuse_embeds, _ = agent.runner.navigation(
                     nav_batch, train=False)
             if forced_actions is not None:
@@ -542,7 +542,11 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
     G_full = agent.dims.max_gmap_nodes
     n_max = max((len(s["gmap_vpids"][i]) for s in steps for i in range(B)),
                 default=1)
-    G_eff = min(G_full, max(8, -(-n_max // 8) * 8))
+    # bucket of 16 (not 8): every G_eff value compiles a fresh scanned-
+    # replay AND grad-chunk executable (~seconds each on a 1-core
+    # host); coarser buckets trade a sliver of fuse compute for far
+    # fewer mid-epoch compiles as trajectories grow the graph
+    G_eff = min(G_full, max(16, -(-n_max // 16) * 16))
     if use_dev:
         from .runner import MEM_CAPACITY as M
         assert T_pad <= agent.dims.max_hist, (
@@ -667,8 +671,12 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
                     acts_g[st_idx, i] = a
                     cnt[i] += 1
         import jax.numpy as jnp
-        pe_live_dev = jnp.concatenate(
-            [pe[:n] for pe, n in pe_chunks], axis=0)
+        # concatenate FULL fixed-width chunks (pe[:n] slices would give
+        # a fresh shape per batch -> a fresh eager-op compile per
+        # batch); padded rows scatter into the grid's trash row
+        pe_live_dev = jnp.concatenate([pe for pe, _ in pe_chunks], axis=0)
+        rows_full = np.full(int(pe_live_dev.shape[0]), T_pad * B, np.int64)
+        rows_full[:n_live] = live_idx
         # per-step fusion inputs stacked [T_pad, B, ...] for the scan
         def stack_pad(flat, fill=0):
             a = flat.reshape((T, B) + flat.shape[1:])
@@ -681,7 +689,7 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
         pm_grid[:T] = pano_masks_all
         with agent.timer.stage("fuse_device"):
             gmap_flat, hist_flat, mem_final = agent.runner.replay_fuse_scan(
-                pe_live_dev, live_idx, T_pad, pm_grid, cur_ids_g,
+                pe_live_dev, rows_full, T_pad, pm_grid, cur_ids_g,
                 cand_ids_g, slot_ids_g, fuse_sts, acts_g)
         hist_embeds_live = None
         hist_store = None

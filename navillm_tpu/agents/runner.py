@@ -555,13 +555,21 @@ class NavModelRunner:
         """Scatter the compact live-row pano embeds onto the [T*B] grid
         (eager device ops — n_live varies per batch and must not leak
         into the scan's compiled shape), then run the scanned replay.
+
+        live_rows may be LONGER than the live count, padded with the
+        trash index t_pad*b: the grid has one extra row that absorbs
+        padding scatters and is dropped before the reshape. Callers pad
+        pe_live/live_rows to a fixed chunk multiple so this eager
+        scatter compiles once per row-count BUCKET instead of once per
+        batch (n_live varies almost arbitrarily; on a 1-core host each
+        fresh eager-op compile cost ~seconds of the training step).
         Returns (gmap_flat [T*B,G,H], hist_flat [T*B,Hh,H], final_state)
         as DEVICE arrays."""
         t_pad, b = np.asarray(cur_ids).shape
         v, h = pe_live.shape[1], pe_live.shape[2]
-        grid = jnp.zeros((t_pad * b, v, h), pe_live.dtype)
+        grid = jnp.zeros((t_pad * b + 1, v, h), pe_live.dtype)
         grid = grid.at[jnp.asarray(live_rows)].set(pe_live)
-        pe_grid = grid.reshape(t_pad, b, v, h)
+        pe_grid = grid[:t_pad * b].reshape(t_pad, b, v, h)
         state0 = self.memory_init(b)
         gmap_seq, hist_seq, final = self._replay_fuse_scan_fn(
             self.params, state0, pe_grid, jnp.asarray(pm_grid),
