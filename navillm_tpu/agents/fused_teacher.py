@@ -208,6 +208,46 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     use_mem = getattr(agent.runner, "device_memory", True)
     mem_state = agent.runner.memory_init(B) if use_mem else None
 
+    # Prefix-cached sampling (r4): the sampling rollout pays one full-
+    # prompt forward PER STEP on the uncached path even though the
+    # instruction+history prefix is append-only — exactly the workload
+    # the streaming evaluator's prompt-prefix KV cache removes
+    # (device_memory.eval_step_cached: prefill once, then per step
+    # forward only the new-history append + candidates suffix). Reuses
+    # the same _cached_prompt_windows/_window_arrays/prefill_rows host
+    # machinery; trajectory-identical math (chunk-parity + streaming
+    # A/B tests pin the cached step). The cache is right-sized per
+    # batch at t=0 and budget-gated: training holds params + grad
+    # accum + two Adam moments next to it (~4x params as the coarse
+    # stand-in), unlike eval where prefix_cache_enabled's params-only
+    # check applies.
+    from .mp3d_agent import CLS_TOKEN_TEXT
+    C = agent.dims.max_cands
+    use_cache = use_mem and bool(getattr(args, "dagger_prefix_cache", True))
+    if use_cache:
+        import jax
+        import jax.numpy as _jnp
+        _c = agent.runner.cfg.llm
+        _pbytes = int(sum(x.size * x.dtype.itemsize
+                          for x in jax.tree.leaves(agent.runner.params)))
+        _cbytes = int(2 * _c.num_layers * B * agent.dims.max_prefix
+                      * _c.num_kv_heads * _c.head_dim
+                      * _jnp.dtype(_c.dtype).itemsize)
+        use_cache = _cbytes + 4 * _pbytes < 12e9
+    cache = None
+    cache_P = agent.dims.max_prefix
+
+    class _Row:
+        __slots__ = ("active", "cache_ids", "needs_prefill")
+
+    rows_state = None
+    if use_cache:
+        rows_state = []
+        for _ in range(B):
+            r = _Row()
+            r.active, r.cache_ids, r.needs_prefill = True, None, True
+            rows_state.append(r)
+
     steps: List[Dict[str, Any]] = []
     ended = np.zeros(B, bool)
     t = 0
@@ -279,8 +319,36 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             order, prompts, cand_nums = agent.cand_order_and_prompts(
                 gmap_in, instructions, history, validate=False,
                 rng=rng_local)
-            tok_batch, cand_pos, hist_pos, cls_pos = \
-                agent.runner.tokenize_with_positions(prompts)
+            win = prefill_items = None
+            if use_cache:
+                for i in range(B):
+                    rows_state[i].active = not ended[i]
+
+                def probe_fn(i):
+                    return agent.get_prompt(
+                        "navigation", instruction=instructions[i],
+                        hist_num=len(history[i]) + 1,
+                        cand_num=min(cand_nums[i], C + 1),
+                        cls_token=CLS_TOKEN_TEXT)
+
+                try:
+                    app_l, suf_l, prefill_items = \
+                        agent._cached_prompt_windows(
+                            rows_state, prompts, probe_fn, cache_P)
+                except RuntimeError:
+                    # a prompt outgrew the cache budget mid-batch: the
+                    # graph memory is cache-independent, so the rest of
+                    # the batch falls back to the full-prompt step
+                    use_cache = False
+                    cache = None
+                else:
+                    tok = agent.runner.tok
+                    win = agent._window_arrays(
+                        app_l, suf_l, tok.cand_id, tok.hist_id,
+                        tok.cls_ids[0], C)
+            if not use_cache:
+                tok_batch, cand_pos, hist_pos, cls_pos = \
+                    agent.runner.tokenize_with_positions(prompts)
         nav_batch = {
             "gmap_step_ids": gmap_in["gmap_step_ids"],
             "gmap_pos_fts": gmap_in["gmap_pos_fts"],
@@ -290,12 +358,17 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             "pano_masks": vp_in["pano_masks"],
             "local_match_slot": match,
             "cand_order": order,
-            "cand_positions": cand_pos,
-            "hist_positions": hist_pos,
-            "input_ids": tok_batch.input_ids,
-            "attention_mask": tok_batch.attention_mask,
-            "cls_pos": cls_pos,
         }
+        if use_cache:
+            nav_batch.update(win)
+        else:
+            nav_batch.update({
+                "cand_positions": cand_pos,
+                "hist_positions": hist_pos,
+                "input_ids": tok_batch.input_ids,
+                "attention_mask": tok_batch.attention_mask,
+                "cls_pos": cls_pos,
+            })
 
         nav_targets = agent.teacher_action(
             obs, gmap_in["gmap_vpids"], ended,
@@ -316,17 +389,35 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             override = np.full(B, -1, np.int32)
             if forced_actions is not None:
                 override = np.asarray(forced_actions[t], np.int32)
+            if use_cache and cache is None:
+                # right-size the cache for this batch: t=0 prefix plus
+                # bounded per-step history appends (a_w buckets at 8)
+                plen0 = max(len(r.cache_ids) for r in rows_state)
+                cache_P = min(agent.dims.max_prefix,
+                              -(-(plen0 + max_action_len * 8) // 64) * 64)
+                cache = agent.runner.prefix_cache_init(B, cache_P)
+            if use_cache and prefill_items:
+                cache = agent.prefill_rows(cache, prefill_items, B)
             with agent.timer.stage("dagger_sample"):
                 # on-device categorical sampling (same temperature-
                 # softmax distribution as the host path; the draw uses
                 # the runner's jax rng stream instead of np_rng)
-                mem_state, a_t, _ = agent.runner.eval_step(
-                    mem_state, pano_inputs, nav_batch,
-                    reset_mask=np.zeros(B, bool), cur_ids=cur_ids,
-                    cand_ids=cand_ids, active_mask=~ended,
-                    a_t_override=override,
-                    do_sample=forced_actions is None,
-                    temperature=max(args.temperature, 1e-6))
+                if use_cache:
+                    mem_state, cache, a_t, _ = agent.runner.eval_step_cached(
+                        mem_state, cache, pano_inputs, nav_batch,
+                        reset_mask=np.zeros(B, bool), cur_ids=cur_ids,
+                        cand_ids=cand_ids, active_mask=~ended,
+                        a_t_override=override,
+                        do_sample=forced_actions is None,
+                        temperature=max(args.temperature, 1e-6))
+                else:
+                    mem_state, a_t, _ = agent.runner.eval_step(
+                        mem_state, pano_inputs, nav_batch,
+                        reset_mask=np.zeros(B, bool), cur_ids=cur_ids,
+                        cand_ids=cand_ids, active_mask=~ended,
+                        a_t_override=override,
+                        do_sample=forced_actions is None,
+                        temperature=max(args.temperature, 1e-6))
             a_t = a_t.astype(np.int64)
         else:
             nav_batch["gmap_img_embeds"] = gmap_in["gmap_img_embeds"]

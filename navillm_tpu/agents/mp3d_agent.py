@@ -383,6 +383,37 @@ class MP3DAgent:
                 "suf_mask": suf_mask, "cand_positions": cand_pos,
                 "cls_pos": cls_pos}
 
+    def prefill_rows(self, cache, items, width):
+        """Dispatch bucketed prompt-prefix prefills into `cache`.
+
+        items: list of (row, prefix_token_ids); width = cache batch
+        rows. Calls run in fixed-width chunks (bp <= 8) at 64-bucketed
+        prefix widths; padding entries point at distinct rows NOT being
+        prefilled with valid=False (a no-op rewrite of that row's old
+        content — no scatter-order hazards). Shared by the streaming
+        evaluator's refill prefills and the fused-DAgger sampling
+        rollout's episode-start prefills. Returns the updated cache."""
+        bp = min(8, width)
+        for c0 in range(0, len(items), bp):
+            chunk = items[c0: c0 + bp]
+            spare = [r for r in range(width)
+                     if r not in {i for i, _ in chunk}]
+            p_w = max(64, -(-max(len(p) for _, p in chunk) // 64) * 64)
+            ids = np.zeros((bp, p_w), np.int32)
+            mask = np.zeros((bp, p_w), bool)
+            rows = np.zeros(bp, np.int32)
+            valid = np.zeros(bp, bool)
+            for j, (r, pref) in enumerate(chunk):
+                ids[j, : len(pref)] = pref
+                mask[j, : len(pref)] = True
+                rows[j] = r
+                valid[j] = True
+            for j in range(len(chunk), bp):
+                rows[j] = spare[j - len(chunk)]
+            with self.timer.stage("prefill_dispatch"):
+                cache = self.runner.prefill(cache, ids, mask, rows, valid)
+        return cache
+
     def hist_arrays(self, hist_vis):
         Hh = self.dims.max_hist
         H = self.runner.cfg.hidden_size
@@ -890,37 +921,12 @@ class MP3DAgent:
 
         def _flush_prefill(st: Stream):
             """Prefill queued refilled rows BEFORE the eval step (device
-            executes in dispatch order, so the step sees fresh K/V).
-            Fixed batch width; padding entries rewrite the old content
-            of distinct rows that are NOT being prefilled."""
+            executes in dispatch order, so the step sees fresh K/V)."""
             items = st.prefill_items
             st.prefill_items = []
-            if not items:
-                return
-            width = len(st.slots)
-            bp = min(8, width)
-            for c0 in range(0, len(items), bp):
-                chunk = items[c0: c0 + bp]
-                # padding targets only need to be distinct from THIS
-                # call's rows (a later chunk's prefill overwrites any
-                # no-op rewrite of its row)
-                spare = [r for r in range(width)
-                         if r not in {i for i, _ in chunk}]
-                p_w = max(64, -(-max(len(p) for _, p in chunk) // 64) * 64)
-                ids = np.zeros((bp, p_w), np.int32)
-                mask = np.zeros((bp, p_w), bool)
-                rows = np.zeros(bp, np.int32)
-                valid = np.zeros(bp, bool)
-                for j, (r, pref) in enumerate(chunk):
-                    ids[j, : len(pref)] = pref
-                    mask[j, : len(pref)] = True
-                    rows[j] = r
-                    valid[j] = True
-                for j in range(len(chunk), bp):
-                    rows[j] = spare[j - len(chunk)]
-                with self.timer.stage("prefill_dispatch"):
-                    st.cache = self.runner.prefill(st.cache, ids, mask,
-                                                   rows, valid)
+            if items:
+                st.cache = self.prefill_rows(st.cache, items,
+                                             len(st.slots))
 
         def _dispatch(st: Stream):
             if use_cache:

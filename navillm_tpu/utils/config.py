@@ -184,6 +184,14 @@ class TrainArgs:
     # the per-step fwd+bwd loop (and the interleaved pipeline) for the
     # sample-feedback half when enabled.
     fused_dagger: bool = True
+    # prefix-cached DAgger sampling: the no-grad sampling rollout rides
+    # the streaming evaluator's prompt-prefix KV cache (prefill once
+    # per episode, per step forward only the new-history append +
+    # candidates suffix) instead of re-forwarding the whole prompt
+    # every step. Budget-gated at batch start (the cache must fit next
+    # to params + grad accum + Adam moments) and falls back to the
+    # full-prompt step if a prompt outgrows the cache.
+    dagger_prefix_cache: bool = True
     # fixed row-chunk width for the fused-teacher grad calls: bounds the
     # per-call activation footprint (a whole trajectory batch at
     # T*B ~ 80 rows x 512 tokens + AdamW state is marginal on 16 GB)

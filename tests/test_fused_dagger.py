@@ -196,6 +196,7 @@ def test_fused_dagger_samples_without_gradients(train_args, task_config,
     orig_mem = NavModelRunner.pano_mem_navigation_train
     orig_nav = NavModelRunner.navigation
     orig_eval = NavModelRunner.eval_step
+    orig_eval_cached = NavModelRunner.eval_step_cached
 
     def spy_fused(self, *a, **k):
         calls["grad_chunks"] += 1
@@ -216,10 +217,15 @@ def test_fused_dagger_samples_without_gradients(train_args, task_config,
         calls["infer"] += 1          # fused no-grad eval step (mem path)
         return orig_eval(self, *a, **k)
 
+    def spy_eval_cached(self, *a, **k):
+        calls["infer"] += 1          # prefix-cached no-grad eval step
+        return orig_eval_cached(self, *a, **k)
+
     monkeypatch.setattr(NavModelRunner, "pano_navigation_train", spy_fused)
     monkeypatch.setattr(NavModelRunner, "pano_mem_navigation_train", spy_mem)
     monkeypatch.setattr(NavModelRunner, "navigation", spy_nav)
     monkeypatch.setattr(NavModelRunner, "eval_step", spy_eval)
+    monkeypatch.setattr(NavModelRunner, "eval_step_cached", spy_eval_cached)
 
     det_runner.zero_grads()
     loss, traj = rollout_dagger_fused(
