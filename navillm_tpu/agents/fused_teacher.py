@@ -234,8 +234,23 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
                       * _c.num_kv_heads * _c.head_dim
                       * _jnp.dtype(_c.dtype).itemsize)
         use_cache = _cbytes + 4 * _pbytes < 12e9
+    # FIXED cache width + persistent buffer: cache_P enters the
+    # eval_step_cached/prefill executable shapes, so a per-batch
+    # right-sized P would recompile them for every new batch-max
+    # prefix length; and reallocating ~0.8 GB per DAgger batch churned
+    # the HBM allocator (dispatch stalls measured in the phase-2/5
+    # uploads that follow). One buffer per (B, P) lives on the agent
+    # and is re-prefilled each batch (stale K/V beyond plen is
+    # invisible behind prefix_mask).
     cache = None
     cache_P = agent.dims.max_prefix
+    if use_cache:
+        cached = getattr(agent, "_dagger_sample_cache", None)
+        if cached is not None and cached[0] == B and cached[1] == cache_P:
+            cache = cached[2]
+        else:
+            cache = agent.runner.prefix_cache_init(B, cache_P)
+        agent._dagger_sample_cache = None   # ownership moves to the loop
 
     class _Row:
         __slots__ = ("active", "cache_ids", "needs_prefill")
@@ -389,13 +404,6 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             override = np.full(B, -1, np.int32)
             if forced_actions is not None:
                 override = np.asarray(forced_actions[t], np.int32)
-            if use_cache and cache is None:
-                # right-size the cache for this batch: t=0 prefix plus
-                # bounded per-step history appends (a_w buckets at 8)
-                plen0 = max(len(r.cache_ids) for r in rows_state)
-                cache_P = min(agent.dims.max_prefix,
-                              -(-(plen0 + max_action_len * 8) // 64) * 64)
-                cache = agent.runner.prefix_cache_init(B, cache_P)
             if use_cache and prefill_items:
                 cache = agent.prefill_rows(cache, prefill_items, B)
             with agent.timer.stage("dagger_sample"):
@@ -475,6 +483,11 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
         t += 1
         if flag:
             break
+
+    if cache is not None:
+        # hand the buffer back for the next DAgger batch (same B/P ->
+        # zero reallocation, zero recompiles)
+        agent._dagger_sample_cache = (B, cache_P, cache)
 
     return _fused_trajectory_train(
         agent, args, steps=steps, gmaps=gmaps, traj=traj,
