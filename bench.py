@@ -595,10 +595,13 @@ def bench_extract(args):
     rate_1core = min(decode_rate, device_rate)
     rate_8core = min(decode_rate * 8, device_rate)
     tag = "debug-tiny ViT" if args.debug else "EVA02-L/14-336"
+    # debug mode runs a tiny ViT: a ratio against the EVA02-L A100
+    # estimate would be meaningless there (advisor r4), so record null
     return {"metric": f"extraction images/sec ({tag} device fwd, b={b})"
                       + ("" if args.debug else ", vs estimate"),
             "value": round(device_rate, 2), "unit": "images/sec",
-            "vs_baseline": round(device_rate / 400.0, 3),
+            "vs_baseline": (None if args.debug
+                            else round(device_rate / 400.0, 3)),
             "decode_img_per_s_core": round(decode_rate, 2),
             "pipeline_img_per_s_1core": round(rate_1core, 2),
             "pipeline_img_per_s_8core": round(rate_8core, 2),
@@ -807,12 +810,46 @@ def bench_all(args):
                                    prefix_cache=True, a8=True, w4=True,
                                    iters=args.iters)
 
-    head = anchors.get("rollout_7b") or anchors.get("rollout_proxy")
+    # headline = best surviving true-scale candidate (advisor r4 medium:
+    # if the 8x4 run fails/skips but 4x8 succeeds, the swap above never
+    # ran and the proxy must not displace a valid 7B number)
+    cands = [anchors[k] for k in ("rollout_7b", "rollout_7b_4x8")
+             if anchors.get(k)]
+    head = (max(cands, key=lambda x: x["value"]) if cands
+            else anchors.get("rollout_proxy"))
     out = dict(head) if head else {"metric": "bench failed", "value": 0.0,
                                    "unit": "episodes/sec",
                                    "vs_baseline": 0.0}
     out["anchors"] = {k: v for k, v in anchors.items() if v is not None}
     return out
+
+
+# per-anchor fields kept in the compact stdout line; everything else
+# (metric strings, MFU, link calibration, ...) lives in BENCH_FULL.json
+_COMPACT_KEYS = ("value", "vs_baseline", "median_vs_baseline",
+                 "vs_baseline_calnorm")
+
+
+def compact_result(out):
+    """VERDICT r4 #2: BENCH_r04.json had parsed:null because the final
+    stdout line outgrew the driver's 2000-char tail window. The full
+    result is written to BENCH_FULL.json; stdout gets a compact line —
+    headline metric/value/unit/ratios plus per-anchor numeric summaries
+    only — sized to survive any tail window."""
+    try:
+        Path("BENCH_FULL.json").write_text(json.dumps(out))
+    except OSError:
+        pass
+    keep = ("metric", "value", "unit", "vs_baseline", "median",
+            "median_vs_baseline", "vs_baseline_calnorm", "mfu_vs_cal",
+            "error")
+    slim = {k: out[k] for k in keep if k in out}
+    if "anchors" in out:
+        slim["anchors"] = {
+            name: {k: a[k] for k in _COMPACT_KEYS if k in a}
+            for name, a in out["anchors"].items() if a}
+    slim["full"] = "BENCH_FULL.json"
+    return slim
 
 
 def _unlink_partial():
@@ -857,7 +894,7 @@ def _arm_watchdog(deadline_s: float):
             out.update({k: head[k] for k in
                         ("metric", "value", "unit", "vs_baseline")})
         out["anchors"] = partial
-        print(json.dumps(out), flush=True)
+        print(json.dumps(compact_result(out)), flush=True)
         os._exit(0)
 
     t = threading.Timer(deadline_s, fire)
@@ -957,7 +994,7 @@ def main():
         if "model_tflops" in out:
             eff = cal * (2.0 if out.get("matmul_mode") == "int8" else 1.0)
             out["mfu_vs_cal"] = round(out["model_tflops"] / eff, 4)
-    print(json.dumps(out))
+    print(json.dumps(compact_result(out)))
 
 
 if __name__ == "__main__":

@@ -353,8 +353,12 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
                 except RuntimeError:
                     # a prompt outgrew the cache budget mid-batch: the
                     # graph memory is cache-independent, so the rest of
-                    # the batch falls back to the full-prompt step
+                    # the batch falls back to the full-prompt step.
+                    # Hand the (untouched-beyond-plen) buffer straight
+                    # back so later batches reuse it instead of
+                    # re-allocating ~0.8 GB per batch (advisor r4)
                     use_cache = False
+                    agent._dagger_sample_cache = (B, cache_P, cache)
                     cache = None
                 else:
                     tok = agent.runner.tok
@@ -914,16 +918,19 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
 
     # ------------- sub-task heads ----------------------------------------
     final = steps[-1]
+    # derive the head gates ONCE and use them both to download the
+    # history buffer and to run the heads below — they cannot drift
+    # into a None-indexing crash if one condition is later loosened
+    # (advisor r4)
+    run_og = data_type[0] in ("soon", "reverie") and args.enable_og
+    run_gen = data_type[0] == "eqa" or (
+        feedback == "teacher" and args.enable_summarize
+        and data_type[0] in ("r2r", "soon", "reverie", "r2r_aug",
+                             "reverie_aug"))
     if use_dev:
         history_final = [["<hist>"] * int(final_cnt[i]) for i in range(B)]
         hist_vis_final = None
-        need_hist_vals = (
-            (data_type[0] in ("soon", "reverie") and args.enable_og)
-            or data_type[0] == "eqa"
-            or (feedback == "teacher" and args.enable_summarize
-                and data_type[0] in ("r2r", "soon", "reverie", "r2r_aug",
-                                     "reverie_aug")))
-        if need_hist_vals:
+        if run_og or run_gen:
             # the heads consume history VALUES — one small download of
             # the final device history buffer (the only embed download
             # left on this path, and only when a head actually runs)
@@ -936,7 +943,7 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
         history_final = [["<hist>"] * int(len(hist_store[i]))
                          for i in range(B)]
         hist_vis_final = hist_store
-    if data_type[0] in ("soon", "reverie") and args.enable_og:
+    if run_og:
         ml_loss += agent._object_grounding_step(
             args, final["obs"], gmaps, final["gmap_in"], instructions,
             history_final, hist_vis_final, final["pano_inputs"], traj, B,
@@ -956,10 +963,7 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
     # summarization gate mirrors the per-step path: EQA answers at the
     # final step under ANY feedback; instruction summarization only
     # under teacher/argmax (mp3d_agent._rollout_gen enable_summarize)
-    if data_type[0] == "eqa" or (
-            feedback == "teacher"
-            and data_type[0] in ("r2r", "soon", "reverie", "r2r_aug",
-                                 "reverie_aug") and args.enable_summarize):
+    if run_gen:
         mode = "embodied_qa" if data_type[0] == "eqa" else "summarization"
         answers = [ob.get("answer", "") if data_type[0] == "eqa"
                    else ob["instruction"] for ob in final["obs"]]

@@ -537,6 +537,15 @@ def chunk_forward_cached(params, cfg: LlamaConfig, inputs_embeds, prefix_kv,
                 vq, vs_ = kv_quantize(v)
                 pk, pks = scatter(pk, kq), scatter(pks, ks_)
                 pv, pvs = scatter(pv, vq), scatter(pvs, vs_)
+                # step-to-step consistency under kv8 (advisor r4): the
+                # columns just written to the cache must be SEEN by this
+                # window exactly as later steps will read them — the
+                # int8 round trip — or the appending step and subsequent
+                # steps attend to slightly different K/V for the same
+                # tokens (the split two-pass form was self-consistent)
+                rt = wok[..., None, None]
+                k = jnp.where(rt, kv_dequantize(kq, ks_, k.dtype), k)
+                v = jnp.where(rt, kv_dequantize(vq, vs_, v.dtype), v)
             else:
                 pk, pv = scatter(pk, k), scatter(pv, v)
         pkd = kv_dequantize(pk, pks, k.dtype) if quant else pk.astype(k.dtype)

@@ -10,7 +10,7 @@ tools/optims.py:52-57) with a single jax.sharding.Mesh over ICI/DCN:
 No process groups, no rendezvous: multihost jax initializes the global
 mesh from jax.devices(); the task-id broadcast the reference does with
 dist.broadcast (tasks/loaders.py:176-180) becomes a shared-seed host RNG
-(see training/sampler.py).
+(see data/loaders.py MetaLoader, loaders.py:72-97).
 """
 from __future__ import annotations
 
