@@ -248,8 +248,21 @@ def _unpack_q4(p: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mm4(x: jnp.ndarray, w, a8: bool) -> jnp.ndarray:
-    """Group-scaled int4 matmul: per-group partial dots, then an
-    s-weighted contraction over groups (no dequantized weight copy)."""
+    """Group-scaled int4 matmul. On TPU at kernel-eligible shapes this
+    is the fused Pallas dequant-matmul (ops/matmul_q4.py: packed
+    nibbles stay packed in HBM at 0.5 byte/param, unpack happens in
+    VMEM tiles feeding the MXU — the XLA form below materializes the
+    unpacked weight and measured ~4.7x slower end-to-end in
+    BENCH_r04.json). Fallback: per-group partial dots, then an
+    s-weighted contraction over groups."""
+    from ..ops.matmul_q4 import matmul_q4, q4_kernel_eligible
+    if q4_kernel_eligible(x, w["q4p"], w["s"]):
+        sw = w["s"].astype(jnp.float32)
+        if a8:
+            xq, sx = _act_q(x)
+            y = matmul_q4(xq, w["q4p"], sw)
+            return (y * sx).astype(x.dtype)
+        return matmul_q4(x, w["q4p"], sw, out_dtype=x.dtype)
     q4, s = _unpack_q4(w["q4p"]), w["s"]
     ng, o = s.shape[-2], s.shape[-1]
     g = q4.shape[-2] // ng
