@@ -169,30 +169,138 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     forced_actions ([T][B] int arrays): replay injection for the
     gradient-parity test — bypasses sampling so the fused pass can be
     compared against a per-step run on the identical trajectory.
+
+    PIPELINED SLOT GROUPS (r5): the r4 form ran the whole batch's
+    sampling as ONE sequential loop whose per-step a_t materialization
+    blocked the host — the device idled through every step's ~230 ms
+    of host assembly/sim work (the r4 stage profile's dagger_sample
+    1.2 s/call). The batch is now split into `args.dagger_streams`
+    groups (default 2) driven round-robin as generators: while group
+    A's fused step runs on device, the scheduler executes group B's
+    host work. Same trick validate_streaming uses; per-step semantics
+    are untouched (groups are disjoint episodes; the fused loss pass
+    runs per group with the batch-level loss denominator, so the total
+    loss/gradient is the same sum over episodes).
     """
     from .graph_map import GraphMap
-    from .mp3d_agent import _softmax
 
-    obs = [o for o in batch_dict["observations"]]
-    envs = batch_dict["env"]
-    items = batch_dict["item"]
-    data_type = batch_dict["data_type"]
-    B = len(obs)
+    obs_all = [o for o in batch_dict["observations"]]
+    B = len(obs_all)
     loss_den = loss_denom if loss_denom is not None else B
     rng_local = np_rng if np_rng is not None else agent.np_rng
     max_action_len = optim_cfg.train_max_action_len[name]
+    use_mem = getattr(agent.runner, "device_memory", True)
 
-    agent.update_scanvp_cands(obs)
+    agent.update_scanvp_cands(obs_all)
     if agent._prefetcher is None and dataset is not None \
             and getattr(dataset, "feat_db", None) is not None:
         from ..data.prefetch import FeaturePrefetcher
         agent._prefetcher = FeaturePrefetcher(dataset.feat_db)
-    gmaps = [GraphMap(ob["viewpoint"]) for ob in obs]
-    for i, ob in enumerate(obs):
-        gmaps[i].update_graph(ob)
-    traj = [{"instr_id": ob["instr_id"], "path": [[ob["viewpoint"]]],
-             "details": {}} for ob in obs]
-    instructions = [ob["instruction"] for ob in obs]
+
+    # the host fallback syncs on full logits inside the step, so it
+    # gains nothing from pipelining; small batches keep one group
+    n_groups = int(getattr(args, "dagger_streams", 0) or 2)
+    if not use_mem:
+        n_groups = 1
+    while n_groups > 1 and (B % n_groups != 0 or B // n_groups < 4):
+        n_groups -= 1
+
+    # prefix-cache budget check at the BATCH level (the groups' caches
+    # coexist; training holds params + grad accum + two Adam moments
+    # next to them — ~4x params as the coarse stand-in)
+    use_cache = use_mem and bool(getattr(args, "dagger_prefix_cache", True))
+    if use_cache:
+        import jax
+        import jax.numpy as _jnp
+        _c = agent.runner.cfg.llm
+        _pbytes = int(sum(x.size * x.dtype.itemsize
+                          for x in jax.tree.leaves(agent.runner.params)))
+        _cbytes = int(2 * _c.num_layers * B * agent.dims.max_prefix
+                      * _c.num_kv_heads * _c.head_dim
+                      * _jnp.dtype(_c.dtype).itemsize)
+        use_cache = _cbytes + 4 * _pbytes < 12e9
+
+    reader = getattr(agent, "_a_t_reader", None)
+    if reader is None and use_mem:
+        from concurrent.futures import ThreadPoolExecutor
+        reader = ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix="dagger_a_t")
+        agent._a_t_reader = reader
+
+    Bg = B // n_groups
+    groups = []
+    for g in range(n_groups):
+        sl = slice(g * Bg, (g + 1) * Bg)
+        obs = obs_all[sl]
+        gmaps = [GraphMap(ob["viewpoint"]) for ob in obs]
+        for i, ob in enumerate(obs):
+            gmaps[i].update_graph(ob)
+        groups.append({
+            "obs": obs,
+            "envs": batch_dict["env"][sl],
+            "items": batch_dict["item"][sl],
+            "data_type": batch_dict["data_type"][sl],
+            "gmaps": gmaps,
+            "traj": [{"instr_id": ob["instr_id"],
+                      "path": [[ob["viewpoint"]]], "details": {}}
+                     for ob in obs],
+            "instructions": [ob["instruction"] for ob in obs],
+            "steps": [],
+            "forced": ([np.asarray(fa)[sl] for fa in forced_actions]
+                       if forced_actions is not None else None),
+        })
+
+    gens = [_dagger_sample_group(agent, args, grp, dataset, rng_local,
+                                 max_action_len, use_cache, reader)
+            for grp in groups]
+    live = list(gens)
+    while live:
+        for gen in list(live):
+            try:
+                next(gen)
+            except StopIteration:
+                live.remove(gen)
+
+    # fused whole-trajectory loss pass per group (phases 2-6). The
+    # denominator stays the BATCH size, so sum-over-groups equals the
+    # single-group loss; grad chunks are fixed-width either way.
+    ml_loss = 0.0
+    traj = []
+    for grp in groups:
+        loss_g, traj_g = _fused_trajectory_train(
+            agent, args, steps=grp["steps"], gmaps=grp["gmaps"],
+            traj=grp["traj"], instructions=grp["instructions"],
+            data_type=grp["data_type"], B=len(grp["obs"]),
+            train_ml=train_ml, loss_den=loss_den, feedback="sample",
+            fgr2r_steps=[], t_pad=max_action_len)
+        ml_loss = ml_loss + loss_g
+        traj.extend(traj_g)
+    return ml_loss, traj
+
+
+def _dagger_sample_group(agent, args, grp, dataset, rng_local,
+                         max_action_len, use_cache, reader):
+    """Phase 1' sampling rollout for ONE slot group, as a GENERATOR.
+
+    Yields exactly once per step, between dispatching the fused eval
+    step (async, sync=False) and materializing its a_t — so the
+    round-robin scheduler in rollout_dagger_fused can run the OTHER
+    groups' host work (env step, get_obs, prompt assembly) while this
+    group's step executes on device. Per-step semantics are identical
+    to the r4 single-group loop: the scheduler only changes WHEN host
+    work happens, never what it computes. Results land in grp["steps"]
+    / grp["traj"] / grp["gmaps"] for the fused loss pass."""
+    from .mp3d_agent import _softmax
+
+    obs = grp["obs"]
+    envs = grp["envs"]
+    items = grp["items"]
+    data_type = grp["data_type"]
+    gmaps = grp["gmaps"]
+    traj = grp["traj"]
+    instructions = grp["instructions"]
+    forced_actions = grp["forced"]
+    B = len(obs)
     history: List[List[str]] = [[] for _ in range(B)]
     # policy-side history embeds (host fallback path only); the loss
     # pass recomputes its own dropout-noised history in phase 4
@@ -216,41 +324,28 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     # forward only the new-history append + candidates suffix). Reuses
     # the same _cached_prompt_windows/_window_arrays/prefill_rows host
     # machinery; trajectory-identical math (chunk-parity + streaming
-    # A/B tests pin the cached step). The cache is right-sized per
-    # batch at t=0 and budget-gated: training holds params + grad
-    # accum + two Adam moments next to it (~4x params as the coarse
-    # stand-in), unlike eval where prefix_cache_enabled's params-only
-    # check applies.
+    # A/B tests pin the cached step).
     from .mp3d_agent import CLS_TOKEN_TEXT
     C = agent.dims.max_cands
-    use_cache = use_mem and bool(getattr(args, "dagger_prefix_cache", True))
-    if use_cache:
-        import jax
-        import jax.numpy as _jnp
-        _c = agent.runner.cfg.llm
-        _pbytes = int(sum(x.size * x.dtype.itemsize
-                          for x in jax.tree.leaves(agent.runner.params)))
-        _cbytes = int(2 * _c.num_layers * B * agent.dims.max_prefix
-                      * _c.num_kv_heads * _c.head_dim
-                      * _jnp.dtype(_c.dtype).itemsize)
-        use_cache = _cbytes + 4 * _pbytes < 12e9
-    # FIXED cache width + persistent buffer: cache_P enters the
+    # FIXED cache width + persistent buffer POOL: cache_P enters the
     # eval_step_cached/prefill executable shapes, so a per-batch
     # right-sized P would recompile them for every new batch-max
     # prefix length; and reallocating ~0.8 GB per DAgger batch churned
     # the HBM allocator (dispatch stalls measured in the phase-2/5
-    # uploads that follow). One buffer per (B, P) lives on the agent
-    # and is re-prefilled each batch (stale K/V beyond plen is
-    # invisible behind prefix_mask).
+    # uploads that follow). Buffers keyed (B, P) live in a pool on the
+    # agent (one per slot group) and are re-prefilled each batch (stale
+    # K/V beyond plen is invisible behind prefix_mask).
     cache = None
     cache_P = agent.dims.max_prefix
     if use_cache:
-        cached = getattr(agent, "_dagger_sample_cache", None)
-        if cached is not None and cached[0] == B and cached[1] == cache_P:
-            cache = cached[2]
-        else:
+        pool = getattr(agent, "_dagger_cache_pool", [])
+        agent._dagger_cache_pool = pool
+        for pi, (bb, pp, _buf) in enumerate(pool):
+            if bb == B and pp == cache_P:
+                cache = pool.pop(pi)[2]   # ownership moves to this loop
+                break
+        if cache is None:
             cache = agent.runner.prefix_cache_init(B, cache_P)
-        agent._dagger_sample_cache = None   # ownership moves to the loop
 
     class _Row:
         __slots__ = ("active", "cache_ids", "needs_prefill")
@@ -263,7 +358,7 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             r.active, r.cache_ids, r.needs_prefill = True, None, True
             rows_state.append(r)
 
-    steps: List[Dict[str, Any]] = []
+    steps: List[Dict[str, Any]] = grp["steps"]
     ended = np.zeros(B, bool)
     t = 0
     while t < max_action_len:
@@ -358,7 +453,7 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
                     # back so later batches reuse it instead of
                     # re-allocating ~0.8 GB per batch (advisor r4)
                     use_cache = False
-                    agent._dagger_sample_cache = (B, cache_P, cache)
+                    agent._dagger_cache_pool.append((B, cache_P, cache))
                     cache = None
                 else:
                     tok = agent.runner.tok
@@ -413,7 +508,10 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             with agent.timer.stage("dagger_sample"):
                 # on-device categorical sampling (same temperature-
                 # softmax distribution as the host path; the draw uses
-                # the runner's jax rng stream instead of np_rng)
+                # the runner's jax rng stream instead of np_rng).
+                # ASYNC dispatch: a_t stays a device array; the yield
+                # below lets the scheduler run the other groups' host
+                # work while this step executes.
                 if use_cache:
                     mem_state, cache, a_t, _ = agent.runner.eval_step_cached(
                         mem_state, cache, pano_inputs, nav_batch,
@@ -421,7 +519,8 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
                         cand_ids=cand_ids, active_mask=~ended,
                         a_t_override=override,
                         do_sample=forced_actions is None,
-                        temperature=max(args.temperature, 1e-6))
+                        temperature=max(args.temperature, 1e-6),
+                        sync=False)
                 else:
                     mem_state, a_t, _ = agent.runner.eval_step(
                         mem_state, pano_inputs, nav_batch,
@@ -429,7 +528,21 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
                         cand_ids=cand_ids, active_mask=~ended,
                         a_t_override=override,
                         do_sample=forced_actions is None,
-                        temperature=max(args.temperature, 1e-6))
+                        temperature=max(args.temperature, 1e-6),
+                        sync=False)
+            # start the d2h copy at dispatch AND materialize on the
+            # reader thread (same rationale as validate_streaming's
+            # _dispatch: relay backends may no-op the async copy, and
+            # np.asarray releases the GIL during the transfer)
+            try:
+                a_t.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+            fut = reader.submit(np.asarray, a_t) if reader is not None \
+                else None
+            yield
+            with agent.timer.stage("dagger_sync"):
+                a_t = fut.result() if fut is not None else np.asarray(a_t)
             a_t = a_t.astype(np.int64)
         else:
             nav_batch["gmap_img_embeds"] = gmap_in["gmap_img_embeds"]
@@ -454,6 +567,14 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             "pano_inputs": pano_inputs, "gmap_in": gmap_in,
             "targets": nav_targets, "gmap_vpids": gmap_in["gmap_vpids"],
             "actions": a_t.copy(), "order": order, "prompts": prompts,
+            # phase-3 host-work reuse (r5): on the device-memory path
+            # vp_in carries no embedding values (pano_embeds=None) and
+            # match was computed against the visited state AT THIS STEP
+            # — exactly what phase 3 would rebuild from the snapshot.
+            # The host fallback's vp_in holds eval-pass embeds, which
+            # phase 3 must NOT reuse (it needs the dropout-noised ones).
+            "vp_in": vp_in if use_mem else None,
+            "match": match if use_mem else None,
         })
 
         # history bookkeeping exactly as the per-step path
@@ -489,15 +610,9 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
             break
 
     if cache is not None:
-        # hand the buffer back for the next DAgger batch (same B/P ->
-        # zero reallocation, zero recompiles)
-        agent._dagger_sample_cache = (B, cache_P, cache)
-
-    return _fused_trajectory_train(
-        agent, args, steps=steps, gmaps=gmaps, traj=traj,
-        instructions=instructions, data_type=data_type, B=B,
-        train_ml=train_ml, loss_den=loss_den, feedback="sample",
-        fgr2r_steps=[], t_pad=max_action_len)
+        # hand the buffer back for the next DAgger batch's matching
+        # group (same B/P -> zero reallocation, zero recompiles)
+        agent._dagger_cache_pool.append((B, cache_P, cache))
 
 
 def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
@@ -507,6 +622,7 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
     docstring). `steps` carries the phase-1 snapshots; for
     feedback='sample' each step additionally holds the sampled
     'actions', the candidate 'order', and the 'prompts' to reuse."""
+    import jax.numpy as jnp
     T = len(steps)
 
     # ---------------- phase 2: one batched panorama call -----------------
@@ -653,8 +769,15 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
     # bucket of 16 (not 8): every G_eff value compiles a fresh scanned-
     # replay AND grad-chunk executable (~seconds each on a 1-core
     # host); coarser buckets trade a sliver of fuse compute for far
-    # fewer mid-epoch compiles as trajectories grow the graph
+    # fewer mid-epoch compiles as trajectories grow the graph.
+    # HIGH-WATER MARK on top (r5): G grows with trajectory length, so
+    # mid-epoch batches kept crossing bucket boundaries and recompiling
+    # anyway; holding the process-lifetime max makes the shape monotone
+    # — after warmup every batch reuses one executable, at the cost of
+    # a sliver of fuse compute on small batches
     G_eff = min(G_full, max(16, -(-n_max // 16) * 16))
+    G_eff = max(G_eff, getattr(agent, "_g_eff_hwm", 0))
+    agent._g_eff_hwm = G_eff
     if use_dev:
         from .runner import MEM_CAPACITY as M
         assert T_pad <= agent.dims.max_hist, (
@@ -723,6 +846,10 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
                                 gmaps[i].has_node_embed(vp):
                             gin["gmap_img_embeds"][i, k] = \
                                 gmaps[i].get_node_embed(vp)
+            if step.get("vp_in") is not None:
+                # sample-path snapshot already holds value-free vp_in +
+                # a match computed against this step's visited state
+                continue
             vp_in = agent.nav_vp_inputs(sobs, gmaps, pe, pm,
                                         step["pano_inputs"]["cand_vpids"])
             match = agent.local_match_slots(
@@ -778,12 +905,10 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
                 if a != args.ignoreid and compact_of[st_idx * B + i] >= 0:
                     acts_g[st_idx, i] = a
                     cnt[i] += 1
-        import jax.numpy as jnp
-        # concatenate FULL fixed-width chunks (pe[:n] slices would give
-        # a fresh shape per batch -> a fresh eager-op compile per
-        # batch); padded rows scatter into the grid's trash row
-        pe_live_dev = jnp.concatenate([pe for pe, _ in pe_chunks], axis=0)
-        rows_full = np.full(int(pe_live_dev.shape[0]), T_pad * B, np.int64)
+        # FULL fixed-width chunks scattered one at a time inside
+        # replay_fuse_scan (one executable per chunk width, regardless
+        # of chunk COUNT); padded rows scatter into the grid's trash row
+        rows_full = np.full(len(pe_chunks) * chunk, T_pad * B, np.int64)
         rows_full[:n_live] = live_idx
         # per-step fusion inputs stacked [T_pad, B, ...] for the scan
         def stack_pad(flat, fill=0):
@@ -797,8 +922,8 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
         pm_grid[:T] = pano_masks_all
         with agent.timer.stage("fuse_device"):
             gmap_flat, hist_flat, mem_final = agent.runner.replay_fuse_scan(
-                pe_live_dev, rows_full, T_pad, pm_grid, cur_ids_g,
-                cand_ids_g, slot_ids_g, fuse_sts, acts_g)
+                [pe for pe, _ in pe_chunks], rows_full, T_pad, pm_grid,
+                cur_ids_g, cand_ids_g, slot_ids_g, fuse_sts, acts_g)
         hist_embeds_live = None
         hist_store = None
         final_cnt = cnt

@@ -550,25 +550,30 @@ class NavModelRunner:
                                   self._pano_dev_inputs(pano_inputs),
                                   deterministic=deterministic)
 
-    def replay_fuse_scan(self, pe_live, live_rows, t_pad, pm_grid, cur_ids,
+    def replay_fuse_scan(self, pe_chunks, live_rows, t_pad, pm_grid, cur_ids,
                          cand_ids, slot_ids, fuse_sts, acts):
         """Scatter the compact live-row pano embeds onto the [T*B] grid
         (eager device ops — n_live varies per batch and must not leak
         into the scan's compiled shape), then run the scanned replay.
 
-        live_rows may be LONGER than the live count, padded with the
-        trash index t_pad*b: the grid has one extra row that absorbs
-        padding scatters and is dropped before the reshape. Callers pad
-        pe_live/live_rows to a fixed chunk multiple so this eager
-        scatter compiles once per row-count BUCKET instead of once per
-        batch (n_live varies almost arbitrarily; on a 1-core host each
-        fresh eager-op compile cost ~seconds of the training step).
+        pe_chunks: list of FIXED-WIDTH [chunk, V, H] device arrays (the
+        phase-2 pano outputs). live_rows [n_chunks*chunk] maps each
+        chunk row to its grid row, padded with the trash index t_pad*b:
+        the grid has one extra row that absorbs padding scatters and is
+        dropped before the reshape. Scattering PER CHUNK keeps every
+        eager op at one shape — the r4 form concatenated the chunks
+        first, so each new chunk COUNT emitted a fresh concat+scatter
+        executable (~seconds each on a 1-core host, every few batches
+        as trajectory lengths drifted).
         Returns (gmap_flat [T*B,G,H], hist_flat [T*B,Hh,H], final_state)
         as DEVICE arrays."""
         t_pad, b = np.asarray(cur_ids).shape
-        v, h = pe_live.shape[1], pe_live.shape[2]
-        grid = jnp.zeros((t_pad * b + 1, v, h), pe_live.dtype)
-        grid = grid.at[jnp.asarray(live_rows)].set(pe_live)
+        v, h = pe_chunks[0].shape[1], pe_chunks[0].shape[2]
+        chunk = int(pe_chunks[0].shape[0])
+        grid = jnp.zeros((t_pad * b + 1, v, h), pe_chunks[0].dtype)
+        for ci, pe in enumerate(pe_chunks):
+            rows = jnp.asarray(live_rows[ci * chunk: (ci + 1) * chunk])
+            grid = grid.at[rows].set(pe)
         pe_grid = grid[:t_pad * b].reshape(t_pad, b, v, h)
         state0 = self.memory_init(b)
         gmap_seq, hist_seq, final = self._replay_fuse_scan_fn(

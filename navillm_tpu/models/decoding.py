@@ -33,6 +33,11 @@ from ..ops.masking import NEG_INF
 _JIT_CACHE: Dict[Any, Any] = {}   # insertion-ordered => LRU via re-insert
 _JIT_CACHE_MAX = 32
 
+# eager-loop dispatch chunking: steps unrolled per device call. 7
+# divides the 49 post-prefill steps of the 50-token serving config
+# exactly; larger unrolls trade compile time for fewer dispatches.
+DECODE_UNROLL = 7
+
 
 def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
                      pad_id: int, do_sample: bool,
@@ -118,15 +123,13 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
             step_rngs)
         return rest.swapaxes(0, 1)                          # [B, T-1]
 
-    @functools.partial(jax.jit, donate_argnames=("dec_cache",))
-    def step_one(params, prompt_kv, attention_mask, prompt_lens, tok, done,
-                 trie_state, dec_cache, i, step_rng, temperature):
-        """One eager-loop decode step. Its layer scan is TOP-LEVEL in the
+    def _one_step(params, prompt_kv, attention_mask, prompt_lens, tok, done,
+                  trie_state, dec_cache, i, step_rng, temperature):
+        """One decode-step body. Its layer scan is TOP-LEVEL in the
         executable (nesting it inside a token scan makes XLA hoist ~1 GB
         layout copies of wq/wk/wv out of the outer while — 3 GB of HLO
-        temps that OOM 7B decode on a 16 GB chip). The Python token loop
-        dispatches asynchronously (no per-step sync), and dec_cache is
-        donated so the region updates in place across calls."""
+        temps that OOM 7B decode on a 16 GB chip; a Python UNROLL keeps
+        each scan top-level, so step_chunk below is safe)."""
         vocab = L.lm_head_dim(params)
         emb = L.embed_rows(params["embed"], tok)[:, None, :]
         pos = (prompt_lens + i)[:, None]                    # fed position
@@ -140,6 +143,35 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
         new_done = done | (nxt == eos_id)
         out = jnp.where(done, pad_id, nxt)
         return out, nxt, new_done, new_trie_state, dec_cache
+
+    @functools.partial(jax.jit, donate_argnames=("dec_cache",))
+    def step_one(params, prompt_kv, attention_mask, prompt_lens, tok, done,
+                 trie_state, dec_cache, i, step_rng, temperature):
+        """One eager-loop decode step (remainder chunks). The Python
+        token loop dispatches asynchronously (no per-step sync), and
+        dec_cache is donated so the region updates in place."""
+        return _one_step(params, prompt_kv, attention_mask, prompt_lens,
+                         tok, done, trie_state, dec_cache, i, step_rng,
+                         temperature)
+
+    @functools.partial(jax.jit, donate_argnames=("dec_cache",),
+                       static_argnames=("n",))
+    def step_chunk(params, prompt_kv, attention_mask, prompt_lens, tok,
+                   done, trie_state, dec_cache, i0, step_rngs, temperature,
+                   n):
+        """n decode steps UNROLLED into one executable. Even with fully
+        async per-step dispatch, each eager step_one call pays the
+        relay/runtime per-dispatch floor (tens of ms on tunneled chips
+        — larger than the 7B int8 step itself); one dispatch per n
+        steps divides that floor by n. The unroll is a Python loop, so
+        every layer scan stays top-level (see _one_step)."""
+        outs = []
+        for j in range(n):
+            out, tok, done, trie_state, dec_cache = _one_step(
+                params, prompt_kv, attention_mask, prompt_lens, tok, done,
+                trie_state, dec_cache, i0 + j, step_rngs[j], temperature)
+            outs.append(out)
+        return jnp.stack(outs, axis=1), tok, done, trie_state, dec_cache
 
     def decode(params, input_ids, attention_mask, inject_positions,
                inject_embeds, rng, temperature):
@@ -155,15 +187,28 @@ def _build_decode_fn(cfg: L.LlamaConfig, max_new_tokens: int, eos_id: int,
         b = input_ids.shape[0]
         prompt_lens = attention_mask.sum(axis=-1).astype(jnp.int32)
         dec_cache = L.init_decode_cache(cfg, b, max_new_tokens)
-        rngs = jax.random.split(rng_, max_new_tokens - 1)
-        outs = [out0]
+        n_steps = max_new_tokens - 1
+        rngs = jax.random.split(rng_, n_steps)
+        outs = [out0[:, None]]
         tok, done, trie_state = tok0, done0, trie_state0
-        for i in range(max_new_tokens - 1):
+        # uniform chunks + a per-step remainder: one chunk width means
+        # ONE step_chunk executable regardless of max_new_tokens
+        unroll = min(DECODE_UNROLL, n_steps)
+        i = 0
+        while i + unroll <= n_steps:
+            chunk_out, tok, done, trie_state, dec_cache = step_chunk(
+                params, prompt_kv, attention_mask, prompt_lens, tok, done,
+                trie_state, dec_cache, jnp.int32(i),
+                rngs[i: i + unroll], temperature, n=unroll)
+            outs.append(chunk_out)
+            i += unroll
+        while i < n_steps:
             out, tok, done, trie_state, dec_cache = step_one(
                 params, prompt_kv, attention_mask, prompt_lens, tok, done,
                 trie_state, dec_cache, jnp.int32(i), rngs[i], temperature)
-            outs.append(out)
-        return jnp.stack(outs, axis=1)
+            outs.append(out[:, None])
+            i += 1
+        return jnp.concatenate(outs, axis=1)
 
     return decode
 

@@ -102,11 +102,17 @@ def test_cached_decode_matches_full_forward():
             assert got_np[bi, k] == want[bi, k], (bi, k, got_np[bi], want[bi])
 
 
-def test_eager_decode_loop_matches_scan_loop():
-    """The 7B-scale eager token loop (per-token jits, donated decode
-    cache) produces the same tokens as the single-executable scan loop."""
+import pytest
+
+
+@pytest.mark.parametrize("n_new", [6, 10])
+def test_eager_decode_loop_matches_scan_loop(n_new):
+    """The 7B-scale eager token loop (unrolled step chunks + per-token
+    remainder, donated decode cache) produces the same tokens as the
+    single-executable scan loop. n_new=6 runs one full chunk; n_new=10
+    runs a chunk plus a 2-step remainder."""
     p = _params()
-    b, t, n_new = 2, 12, 6
+    b, t = 2, 12
     rng = np.random.RandomState(1)
     ids = jnp.asarray(rng.randint(3, 100, size=(b, t)), jnp.int32)
     mask = jnp.ones((b, t), bool).at[0, :4].set(False)
