@@ -202,7 +202,7 @@ def rollout_dagger_fused(agent, args, name, optim_cfg, batch_dict, dataset,
     n_groups = int(getattr(args, "dagger_streams", 0) or 2)
     if not use_mem:
         n_groups = 1
-    while n_groups > 1 and (B % n_groups != 0 or B // n_groups < 4):
+    while n_groups > 1 and (B % n_groups != 0 or B // n_groups < 2):
         n_groups -= 1
 
     # prefix-cache budget check at the BATCH level (the groups' caches

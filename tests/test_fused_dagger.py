@@ -265,3 +265,115 @@ def test_train_routes_dagger_through_fused(train_args, task_config, data_dir,
     det_runner.take_grads()
     assert np.isfinite(float(loss))
     assert calls["fused"] == 1
+
+
+def test_fused_dagger_groups_match_single_group(train_args, task_config,
+                                                data_dir, det_runner,
+                                                optim_cfg):
+    """Pipelined slot groups (dagger_streams=2) == the serial single
+    group, given the same forced trajectory: identical trajectories,
+    loss, and accumulated gradients. The scheduler only reorders WHEN
+    host work runs; episodes are disjoint and the per-group fused loss
+    passes sum with the batch-level denominator."""
+    args, world, ds = _setup(train_args, task_config, data_dir, det_runner)
+
+    # record a trajectory at B=4 (two groups of 2) on the per-step path
+    # (host-side sampling, so the recording rng actually sees the draws)
+    rec = _ArgmaxRecordingRng()
+    a0 = load_agent("r2r", args, world, det_runner)
+    batch0 = next(iter(Dataloader(ds, batch_size=4, shuffle=False)))
+    B = len(batch0["observations"])
+    assert B == 4
+    det_runner.zero_grads()
+    a0.rollout(args, "R2R", optim_cfg.Optim, batch0, dataset=ds,
+               feedback="sample", train_ml=1.0, np_rng=rec)
+    det_runner.take_grads()
+    T = len(rec.actions) // B
+    forced = [np.asarray(rec.actions[t * B:(t + 1) * B], np.int64)
+              for t in range(T)]
+
+    out = {}
+    for streams in (1, 2):
+        args.dagger_streams = streams
+        agent = load_agent("r2r", args, world, det_runner)
+        batch = next(iter(Dataloader(ds, batch_size=4, shuffle=False)))
+        det_runner.zero_grads()
+        loss, traj = rollout_dagger_fused(
+            agent, args, "R2R", optim_cfg.Optim, batch, dataset=ds,
+            train_ml=1.0, forced_actions=forced, np_rng=_IdentityRng())
+        out[streams] = (float(loss), det_runner.take_grads(),
+                        [t["path"] for t in traj])
+    assert out[1][2] == out[2][2]
+    assert out[2][0] == pytest.approx(out[1][0], rel=1e-4)
+    for a, b in zip(jax.tree.leaves(out[1][1]), jax.tree.leaves(out[2][1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3,
+                                   atol=2e-5)
+
+
+def test_fused_dagger_mid_batch_cache_bailout(train_args, task_config,
+                                              data_dir, det_runner,
+                                              optim_cfg, monkeypatch):
+    """VERDICT r4 #6: when a prompt outgrows the prefix-cache budget
+    MID-BATCH, _cached_prompt_windows raises and the rest of the batch
+    falls back to full-prompt stepping (fused_teacher RuntimeError
+    branch). The fallback must preserve the reference's per-step
+    semantics: trajectory + loss + gradients equal the never-cached
+    run, and the cache buffer is handed back to the pool (advisor r4)
+    instead of being dropped."""
+    args, world, ds = _setup(train_args, task_config, data_dir, det_runner)
+    args.dagger_streams = 1
+
+    # record the trajectory once on the per-step path (host-side
+    # sampling) to force into every run
+    rec = _ArgmaxRecordingRng()
+    a0 = load_agent("r2r", args, world, det_runner)
+    batch0 = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+    B = len(batch0["observations"])
+    det_runner.zero_grads()
+    a0.rollout(args, "R2R", optim_cfg.Optim, batch0, dataset=ds,
+               feedback="sample", train_ml=1.0, np_rng=rec)
+    det_runner.take_grads()
+    T = len(rec.actions) // B
+    forced = [np.asarray(rec.actions[t * B:(t + 1) * B], np.int64)
+              for t in range(T)]
+
+    def run(prefix_cache: bool, bailout_at=None):
+        args.dagger_prefix_cache = prefix_cache
+        agent = load_agent("r2r", args, world, det_runner)
+        if bailout_at is not None:
+            from navillm_tpu.agents.mp3d_agent import MP3DAgent
+            orig = MP3DAgent._cached_prompt_windows
+            calls = {"n": 0}
+
+            def boom(self, *a, **k):
+                calls["n"] += 1
+                if calls["n"] == bailout_at:
+                    # what a prompt outgrowing max_prefix raises
+                    raise RuntimeError("prompt outgrew cache budget")
+                return orig(self, *a, **k)
+
+            monkeypatch.setattr(MP3DAgent, "_cached_prompt_windows", boom)
+        batch = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+        det_runner.zero_grads()
+        loss, traj = rollout_dagger_fused(
+            agent, args, "R2R", optim_cfg.Optim, batch, dataset=ds,
+            train_ml=1.0, forced_actions=forced, np_rng=_IdentityRng())
+        grads = det_runner.take_grads()
+        if bailout_at is not None:
+            monkeypatch.setattr(MP3DAgent, "_cached_prompt_windows", orig)
+            assert calls["n"] == bailout_at   # the bailout actually fired
+            # advisor r4: the overflow fallback must RETAIN the buffer
+            pool = getattr(agent, "_dagger_cache_pool", [])
+            assert len(pool) >= 1
+        return float(loss), grads, [t["path"] for t in traj]
+
+    never_cached = run(False)
+    # bail out on the SECOND step: step 0 runs cached (prefill + cached
+    # eval step), step 1 raises mid-batch and the rest falls back
+    bailed = run(True, bailout_at=2)
+    assert bailed[2] == never_cached[2]
+    assert bailed[0] == pytest.approx(never_cached[0], rel=1e-4)
+    for a, b in zip(jax.tree.leaves(never_cached[1]),
+                    jax.tree.leaves(bailed[1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3,
+                                   atol=2e-5)
