@@ -153,9 +153,14 @@ def matmul_q4(x, q4p, s, *, out_dtype=None, block_m: int = DEFAULT_BLOCK_M,
 def q4_kernel_eligible(x, q4p, s) -> bool:
     """Shape/platform gate for the fused kernel: group size must be a
     lane multiple and the packed width must tile; anything else (tiny
-    test models, CPU) takes the XLA fallback in models/llama.py."""
+    test models, CPU) takes the XLA fallback in models/llama.py.
+
+    Multi-device processes also fall back: a bare pallas_call inside a
+    GSPMD program with TP-sharded q4p would force a full re-gather
+    (it needs shard_map plumbing to partition). int4 is a single-chip
+    capacity lever today; the multichip dryrun covers the XLA form."""
     try:
-        if jax.default_backend() != "tpu":
+        if jax.default_backend() != "tpu" or jax.device_count() > 1:
             return False
     except Exception:
         return False
