@@ -434,12 +434,18 @@ def bench_train_e2e(args):
             float(pending)
         return n_eps
 
-    run(2)          # warmup/compile
-    agent.timer.reset()
-    # best + median over k independent windows (chip-share resilience,
-    # same rationale as bench_rollout)
+    # warmup/compile over the SAME batches a window runs: the loader is
+    # unshuffled and re-created per window, so warming n_batches sees
+    # every shape bucket (window widths, prefill widths, G_eff) the
+    # measured windows will hit. A 2-batch warmup left batch 3's
+    # buckets to compile INSIDE window 1 (~25 s each on this
+    # remote-compile relay, where the disk cache is unavailable) —
+    # that's a benchmark artifact, not steady-state training, which
+    # compiles once per epoch-start at most.
     k = 1 if args.debug else 3
     n_batches = 2 if args.debug else max(args.iters // 6, 3)
+    run(n_batches)
+    agent.timer.reset()
     windows = []
     for _ in range(k):
         runner.llm_token_units = 0.0

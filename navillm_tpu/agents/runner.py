@@ -833,20 +833,33 @@ class NavModelRunner:
         """Prefix-cached fused eval step (device_memory.eval_step_cached).
         Same contract as eval_step plus the cache; returns
         (state', cache', a_t, logits)."""
+        import os
+        import time as _t
+        prof = os.environ.get("NAVILLM_EVAL_STEP_PROF")
+        t0 = _t.perf_counter()
         pano_dev = self._pano_dev_inputs(pano_inputs)
+        t1 = _t.perf_counter()
         dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        t2 = _t.perf_counter()
         act = np.asarray(active_mask)
         self.llm_token_units += float(
             (np.asarray(batch["app_mask"]) * act[:, None]).sum()
             + (np.asarray(batch["suf_mask"]) * act[:, None]).sum())
         if a_t_override is None:
             a_t_override = np.full(len(cur_ids), -1, np.int32)
+        t3 = _t.perf_counter()
         state, cache, a_t, logits = self._eval_step_cached_fn(
             self.params, state, cache, pano_dev, dev,
             jnp.asarray(reset_mask), jnp.asarray(cur_ids),
             jnp.asarray(cand_ids), jnp.asarray(active_mask),
             jnp.asarray(a_t_override, jnp.int32), self._next_rng(),
             jnp.float32(temperature), do_sample=do_sample)
+        t4 = _t.perf_counter()
+        if prof:
+            import sys
+            print(f"[eval_step_cached] pano_up {1e3*(t1-t0):.0f} "
+                  f"batch_up {1e3*(t2-t1):.0f} tok {1e3*(t3-t2):.0f} "
+                  f"dispatch {1e3*(t4-t3):.0f} ms", file=sys.stderr)
         return state, cache, (np.asarray(a_t) if sync else a_t), logits
 
     def navigation_from_memory(self, state, batch: Dict[str, np.ndarray],
