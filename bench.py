@@ -860,8 +860,13 @@ def bench_all(args):
     # honest. Last in line: budget-skip protects the headline anchors.
     anchors["decode_7b_w4"] = run("decode_7b_w4", "decode", "7b",
                                   a8=True, w4=True)
+    # hold the winning slot config constant across the A/B (VERDICT r4
+    # weak #2: the r4 w4 row ran at the default 2x16 while the headline
+    # raced 8x4 — the conclusion survived the confound, but don't have
+    # one)
     anchors["rollout_7b_w4"] = run("rollout_7b_w4", "rollout", "7b",
                                    prefix_cache=True, a8=True, w4=True,
+                                   eval_streams=8, batch=4,
                                    iters=args.iters)
 
     # headline = best surviving true-scale candidate (advisor r4 medium:
