@@ -384,10 +384,11 @@ def bench_train_e2e(args):
     from navillm_tpu.training.optim import make_optimizer
     from navillm_tpu.utils.config import ConfigDict
 
-    # sweep (r3, BPE prompts, pipeline + row compaction): b=24 -> 4.3x,
-    # b=32 -> 4.9x, b=40 -> 1.8x (memory pressure collapse); rows=96
-    # regressed so grad chunks stay at 48
-    b = args.batch or 32
+    # sweep (r5, pipelined fused DAgger, same-day calnorm): b=32 ->
+    # 5.9x, b=48 -> 7.1x, b=64 -> 5.7x (and r3's b=40 memory collapse
+    # no longer reproduces with the device-resident replay) — 48 is
+    # the knee. rows=96 regressed in r3 so grad chunks stay at 48
+    b = args.batch or 48
     cfg, runner, agent, ds, targs, tcfg, Dataloader = \
         _rollout_world(args, _model(args.debug, args.model, _use_a8(args)), b)
     targs.fused_teacher = True
