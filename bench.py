@@ -732,24 +732,41 @@ def link_calibration():
 
 
 def hbm_calibration():
-    """Measured HBM bandwidth (GB/s): time an elementwise add over a
-    512 MB bf16 array (reads 512 MB + writes 512 MB). Feeds the decode
-    anchor's bandwidth_bound_toks roofline. Returns None off-device."""
+    """Measured HBM bandwidth (GB/s): 16 CHAINED elementwise adds over
+    a 512 MB bf16 array inside ONE jit (16 x (read+write) = 16 GB of
+    traffic per call), so the relay's per-call sync latency (~30 ms —
+    which swamped a single-add timing into a nonsense 34 GB/s) is
+    amortized to noise. Feeds the decode anchor's
+    bandwidth_bound_toks roofline. Returns None off-device."""
     import time as _t
 
     import jax
     import jax.numpy as jnp
     try:
         n = 256 * 1024 * 1024                       # bf16 elements
+        reps = 16
         x = jnp.ones((n,), jnp.bfloat16)
-        f = jax.jit(lambda a: a + 1)
-        f(x).block_until_ready()
+
+        @jax.jit
+        def f(a):
+            for _ in range(reps):
+                # the barrier forces each pass to materialize — without
+                # it XLA fuses all 16 adds into ONE read+write pass and
+                # the "bandwidth" comes out 1000x too high
+                a = jax.lax.optimization_barrier(a + 1)
+            # scalar sync value: float() below is the only reliable
+            # completion wait on the relay backend (block_until_ready
+            # returns early there — same reason chip_calibration uses
+            # float())
+            return a[::4096].astype(jnp.float32).sum()
+
+        float(f(x))
         ts = []
         for _ in range(3):
             t0 = _t.perf_counter()
-            f(x).block_until_ready()
+            float(f(x))
             ts.append(_t.perf_counter() - t0)
-        return round(2 * n * 2 / min(ts) / 1e9, 1)
+        return round(reps * 2 * n * 2 / min(ts) / 1e9, 1)
     except Exception:
         return None
 

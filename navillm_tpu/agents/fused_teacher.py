@@ -315,6 +315,16 @@ def _dagger_sample_group(agent, args, grp, dataset, rng_local,
     # wall-clock on the tunneled chip.
     use_mem = getattr(agent.runner, "device_memory", True)
     mem_state = agent.runner.memory_init(B) if use_mem else None
+    # W8A8 sampling policy (r5): the no-grad rollout's policy forwards
+    # run int8xint8 on the MXU (~2x the bf16 rate) against a lazily
+    # re-quantized copy of the current params. Gradients are untouched
+    # — the fused loss pass recomputes in bf16 from the trajectory; the
+    # only change is the exploration distribution, the same int8 grid
+    # the W8A8 eval headline samples/argmaxes from (accuracy contract:
+    # tests/test_quant.py trajectory agreement). Off under forced
+    # actions only via args (tests exercise both).
+    use_q = use_mem and bool(getattr(args, "dagger_sample_quant", True)) \
+        and agent.runner.sampling_quant_available()
 
     # Prefix-cached sampling (r4): the sampling rollout pays one full-
     # prompt forward PER STEP on the uncached path even though the
@@ -504,7 +514,8 @@ def _dagger_sample_group(agent, args, grp, dataset, rng_local,
             if forced_actions is not None:
                 override = np.asarray(forced_actions[t], np.int32)
             if use_cache and prefill_items:
-                cache = agent.prefill_rows(cache, prefill_items, B)
+                cache = agent.prefill_rows(cache, prefill_items, B,
+                                           quant=use_q)
             with agent.timer.stage("dagger_sample"):
                 # on-device categorical sampling (same temperature-
                 # softmax distribution as the host path; the draw uses
@@ -512,8 +523,12 @@ def _dagger_sample_group(agent, args, grp, dataset, rng_local,
                 # ASYNC dispatch: a_t stays a device array; the yield
                 # below lets the scheduler run the other groups' host
                 # work while this step executes.
+                step_cached = (agent.runner.eval_step_cached_q if use_q
+                               else agent.runner.eval_step_cached)
+                step_plain = (agent.runner.eval_step_q if use_q
+                              else agent.runner.eval_step)
                 if use_cache:
-                    mem_state, cache, a_t, _ = agent.runner.eval_step_cached(
+                    mem_state, cache, a_t, _ = step_cached(
                         mem_state, cache, pano_inputs, nav_batch,
                         reset_mask=np.zeros(B, bool), cur_ids=cur_ids,
                         cand_ids=cand_ids, active_mask=~ended,
@@ -522,7 +537,7 @@ def _dagger_sample_group(agent, args, grp, dataset, rng_local,
                         temperature=max(args.temperature, 1e-6),
                         sync=False)
                 else:
-                    mem_state, a_t, _ = agent.runner.eval_step(
+                    mem_state, a_t, _ = step_plain(
                         mem_state, pano_inputs, nav_batch,
                         reset_mask=np.zeros(B, bool), cur_ids=cur_ids,
                         cand_ids=cand_ids, active_mask=~ended,

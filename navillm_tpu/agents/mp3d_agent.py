@@ -383,7 +383,7 @@ class MP3DAgent:
                 "suf_mask": suf_mask, "cand_positions": cand_pos,
                 "cls_pos": cls_pos}
 
-    def prefill_rows(self, cache, items, width):
+    def prefill_rows(self, cache, items, width, quant: bool = False):
         """Dispatch bucketed prompt-prefix prefills into `cache`.
 
         items: list of (row, prefix_token_ids); width = cache batch
@@ -392,8 +392,11 @@ class MP3DAgent:
         prefilled with valid=False (a no-op rewrite of that row's old
         content — no scatter-order hazards). Shared by the streaming
         evaluator's refill prefills and the fused-DAgger sampling
-        rollout's episode-start prefills. Returns the updated cache."""
+        rollout's episode-start prefills (quant=True prefills with the
+        int8 sampling policy so cached K/V matches the stepping
+        policy). Returns the updated cache."""
         bp = min(8, width)
+        fill = self.runner.prefill_q if quant else self.runner.prefill
         for c0 in range(0, len(items), bp):
             chunk = items[c0: c0 + bp]
             spare = [r for r in range(width)
@@ -411,7 +414,7 @@ class MP3DAgent:
             for j in range(len(chunk), bp):
                 rows[j] = spare[j - len(chunk)]
             with self.timer.stage("prefill_dispatch"):
-                cache = self.runner.prefill(cache, ids, mask, rows, valid)
+                cache = fill(cache, ids, mask, rows, valid)
         return cache
 
     def hist_arrays(self, hist_vis):

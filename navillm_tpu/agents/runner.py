@@ -442,6 +442,51 @@ class NavModelRunner:
             return DM.prefill_prefix(params, cfg.llm, cache, ids, mask,
                                      rows, valid)
 
+        # ---- W8A8 sampling-policy variants (fused DAgger, r5) ----
+        # The no-grad sampling rollout can run its policy forwards in
+        # int8 weights + int8 activations — the SAME numerics class as
+        # the eval headline (W8A8, trajectory-agreement-tested in
+        # tests/test_quant.py). Gradients are untouched: the fused loss
+        # pass recomputes everything in bf16 from the trajectory. Only
+        # the exploration distribution shifts, exactly as eval does.
+        import dataclasses as _dc
+        cfg_q = _dc.replace(cfg, llm=_dc.replace(cfg.llm, act_int8=True))
+
+        from ..models.quant import _quantize_llama_impl
+
+        @jax.jit
+        def quant_sampling_fn(params):
+            # NON-donating (quantize_llama_params donates — it would
+            # delete the live training tree)
+            return dict(params, llm=_quantize_llama_impl(params["llm"], 8))
+
+        @functools.partial(jax.jit, static_argnames=("do_sample",),
+                           donate_argnames=("state",))
+        def eval_step_q_fn(params, state, pano_in, batch, reset_mask,
+                           cur_ids, cand_ids, active_mask, a_t_override,
+                           rng, temperature, do_sample):
+            return DM.eval_step(params, cfg_q, pano_apply, state, pano_in,
+                                batch, reset_mask, cur_ids, cand_ids,
+                                active_mask, a_t_override, rng, do_sample,
+                                temperature)
+
+        @functools.partial(jax.jit, static_argnames=("do_sample",),
+                           donate_argnames=("state", "cache"))
+        def eval_step_cached_q_fn(params, state, cache, pano_in, batch,
+                                  reset_mask, cur_ids, cand_ids,
+                                  active_mask, a_t_override, rng,
+                                  temperature, do_sample):
+            return DM.eval_step_cached(params, cfg_q, pano_apply, state,
+                                       cache, pano_in, batch, reset_mask,
+                                       cur_ids, cand_ids, active_mask,
+                                       a_t_override, rng, do_sample,
+                                       temperature)
+
+        @functools.partial(jax.jit, donate_argnames=("cache",))
+        def prefill_prefix_q_fn(params, cache, ids, mask, rows, valid):
+            return DM.prefill_prefix(params, cfg_q.llm, cache, ids, mask,
+                                     rows, valid)
+
         @jax.jit
         def hist_append_fn(state, fuse_embeds, a_t):
             return DM.hist_append(state, fuse_embeds, a_t)
@@ -499,6 +544,12 @@ class NavModelRunner:
         self._eval_step_fn = eval_step_fn
         self._eval_step_cached_fn = eval_step_cached_fn
         self._prefill_prefix_fn = prefill_prefix_fn
+        self._eval_step_q_fn = eval_step_q_fn
+        self._eval_step_cached_q_fn = eval_step_cached_q_fn
+        self._prefill_prefix_q_fn = prefill_prefix_q_fn
+        self._quant_sampling_fn = quant_sampling_fn
+        self._samp_src = None
+        self._samp_q = None
         self._pano_dict_fn = pano_dict_fn
         self._pano_fwd_fn = pano_fwd_fn
         self._pano_vjp_fn = pano_vjp_fn
@@ -861,6 +912,74 @@ class NavModelRunner:
                   f"batch_up {1e3*(t2-t1):.0f} tok {1e3*(t3-t2):.0f} "
                   f"dispatch {1e3*(t4-t3):.0f} ms", file=sys.stderr)
         return state, cache, (np.asarray(a_t) if sync else a_t), logits
+
+    # ---- W8A8 sampling policy (fused DAgger, r5) --------------------- #
+    def sampling_quant_available(self) -> bool:
+        """int8 sampling needs a DENSE bf16 tree to quantize (eval modes
+        already hold quantized params) and no mesh plan (the quantized
+        copy has no sharding specs on the multichip path)."""
+        from ..models.quant import is_quantized
+        return self.plan is None and not is_quantized(self.params)
+
+    def sampling_params(self):
+        """W8A8 int8 copy of the CURRENT params for the no-grad DAgger
+        sampling rollout. Re-quantized lazily when self.params is
+        replaced (the optimizer step builds a new tree), so it tracks
+        training at accum-boundary granularity — "sample from the
+        current policy" is preserved up to the int8 grid, the same
+        approximation the W8A8 eval headline runs under."""
+        if self._samp_src is not self.params:
+            self._samp_q = self._quant_sampling_fn(self.params)
+            self._samp_src = self.params
+        return self._samp_q
+
+    def eval_step_q(self, state, pano_inputs, batch, reset_mask, cur_ids,
+                    cand_ids, active_mask, a_t_override=None,
+                    do_sample: bool = False, temperature: float = 1.0,
+                    sync: bool = True):
+        """eval_step against the int8 sampling policy."""
+        pano_dev = self._pano_dev_inputs(pano_inputs)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        self.llm_token_units += float(
+            np.asarray(batch["attention_mask"]).sum()) if \
+            "attention_mask" in batch else 0.0
+        if a_t_override is None:
+            a_t_override = np.full(len(cur_ids), -1, np.int32)
+        state, a_t, logits = self._eval_step_q_fn(
+            self.sampling_params(), state, pano_dev, dev,
+            jnp.asarray(reset_mask), jnp.asarray(cur_ids),
+            jnp.asarray(cand_ids), jnp.asarray(active_mask),
+            jnp.asarray(a_t_override, jnp.int32), self._next_rng(),
+            jnp.float32(temperature), do_sample=do_sample)
+        return state, (np.asarray(a_t) if sync else a_t), logits
+
+    def eval_step_cached_q(self, state, cache, pano_inputs, batch,
+                           reset_mask, cur_ids, cand_ids, active_mask,
+                           a_t_override=None, do_sample: bool = False,
+                           temperature: float = 1.0, sync: bool = True):
+        """eval_step_cached against the int8 sampling policy (prefills
+        must use prefill_q so the cached K/V comes from the same
+        policy)."""
+        pano_dev = self._pano_dev_inputs(pano_inputs)
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        act = np.asarray(active_mask)
+        self.llm_token_units += float(
+            (np.asarray(batch["app_mask"]) * act[:, None]).sum()
+            + (np.asarray(batch["suf_mask"]) * act[:, None]).sum())
+        if a_t_override is None:
+            a_t_override = np.full(len(cur_ids), -1, np.int32)
+        state, cache, a_t, logits = self._eval_step_cached_q_fn(
+            self.sampling_params(), state, cache, pano_dev, dev,
+            jnp.asarray(reset_mask), jnp.asarray(cur_ids),
+            jnp.asarray(cand_ids), jnp.asarray(active_mask),
+            jnp.asarray(a_t_override, jnp.int32), self._next_rng(),
+            jnp.float32(temperature), do_sample=do_sample)
+        return state, cache, (np.asarray(a_t) if sync else a_t), logits
+
+    def prefill_q(self, cache, ids, mask, rows, valid):
+        return self._prefill_prefix_q_fn(
+            self.sampling_params(), cache, jnp.asarray(ids),
+            jnp.asarray(mask), jnp.asarray(rows), jnp.asarray(valid))
 
     def navigation_from_memory(self, state, batch: Dict[str, np.ndarray],
                                pano_embeds):

@@ -177,6 +177,13 @@ class TrainArgs:
     # number of interleaved DAgger streams (>=2). More streams hide
     # host work at finer grain but shrink each device call's batch
     dagger_streams: int = 2
+    # fused DAgger: run the no-grad sampling rollout's policy forwards
+    # against a W8A8 int8 copy of the current params (re-quantized each
+    # optimizer step). Gradients are untouched (the fused loss pass is
+    # bf16); only the exploration distribution shifts — the same int8
+    # grid the W8A8 eval headline decodes from. Set False for exact
+    # bf16 sampling.
+    dagger_sample_quant: bool = True
     # fused whole-trajectory DAgger training: a NO-GRAD sampling
     # rollout picks the trajectory, then one fused loss fwd+bwd pass
     # computes the gradient with the per-step path's exact gradient

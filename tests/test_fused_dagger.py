@@ -197,6 +197,8 @@ def test_fused_dagger_samples_without_gradients(train_args, task_config,
     orig_nav = NavModelRunner.navigation
     orig_eval = NavModelRunner.eval_step
     orig_eval_cached = NavModelRunner.eval_step_cached
+    orig_eval_q = NavModelRunner.eval_step_q
+    orig_eval_cached_q = NavModelRunner.eval_step_cached_q
 
     def spy_fused(self, *a, **k):
         calls["grad_chunks"] += 1
@@ -221,11 +223,22 @@ def test_fused_dagger_samples_without_gradients(train_args, task_config,
         calls["infer"] += 1          # prefix-cached no-grad eval step
         return orig_eval_cached(self, *a, **k)
 
+    def spy_eval_q(self, *a, **k):
+        calls["infer"] += 1          # int8 sampling-policy eval step
+        return orig_eval_q(self, *a, **k)
+
+    def spy_eval_cached_q(self, *a, **k):
+        calls["infer"] += 1
+        return orig_eval_cached_q(self, *a, **k)
+
     monkeypatch.setattr(NavModelRunner, "pano_navigation_train", spy_fused)
     monkeypatch.setattr(NavModelRunner, "pano_mem_navigation_train", spy_mem)
     monkeypatch.setattr(NavModelRunner, "navigation", spy_nav)
     monkeypatch.setattr(NavModelRunner, "eval_step", spy_eval)
     monkeypatch.setattr(NavModelRunner, "eval_step_cached", spy_eval_cached)
+    monkeypatch.setattr(NavModelRunner, "eval_step_q", spy_eval_q)
+    monkeypatch.setattr(NavModelRunner, "eval_step_cached_q",
+                        spy_eval_cached_q)
 
     det_runner.zero_grads()
     loss, traj = rollout_dagger_fused(
@@ -377,3 +390,59 @@ def test_fused_dagger_mid_batch_cache_bailout(train_args, task_config,
                     jax.tree.leaves(bailed[1])):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3,
                                    atol=2e-5)
+
+
+def test_quant_sampling_policy(train_args, task_config, data_dir,
+                               det_runner, optim_cfg):
+    """W8A8 sampling policy (r5): given the same forced trajectory,
+    dagger_sample_quant on/off produce identical loss, gradients, and
+    paths — the int8 policy only changes which actions get SAMPLED,
+    never the bf16 fused loss pass. Unforced, the quantized path must
+    still produce valid trajectories and nonzero gradients."""
+    args, world, ds = _setup(train_args, task_config, data_dir, det_runner)
+    args.dagger_streams = 1
+
+    rec = _ArgmaxRecordingRng()
+    a0 = load_agent("r2r", args, world, det_runner)
+    batch0 = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+    B = len(batch0["observations"])
+    det_runner.zero_grads()
+    a0.rollout(args, "R2R", optim_cfg.Optim, batch0, dataset=ds,
+               feedback="sample", train_ml=1.0, np_rng=rec)
+    det_runner.take_grads()
+    T = len(rec.actions) // B
+    forced = [np.asarray(rec.actions[t * B:(t + 1) * B], np.int64)
+              for t in range(T)]
+
+    out = {}
+    for quant in (False, True):
+        args.dagger_sample_quant = quant
+        agent = load_agent("r2r", args, world, det_runner)
+        batch = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+        det_runner.zero_grads()
+        loss, traj = rollout_dagger_fused(
+            agent, args, "R2R", optim_cfg.Optim, batch, dataset=ds,
+            train_ml=1.0, forced_actions=forced, np_rng=_IdentityRng())
+        out[quant] = (float(loss), det_runner.take_grads(),
+                      [t["path"] for t in traj])
+    assert out[True][2] == out[False][2]
+    assert out[True][0] == pytest.approx(out[False][0], rel=1e-4)
+    for a, b in zip(jax.tree.leaves(out[False][1]),
+                    jax.tree.leaves(out[True][1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3,
+                                   atol=2e-5)
+
+    # unforced smoke on the quantized path: valid trajectory, real grads
+    args.dagger_sample_quant = True
+    agent = load_agent("r2r", args, world, det_runner)
+    agent.np_rng = np.random.RandomState(3)
+    batch = next(iter(Dataloader(ds, batch_size=2, shuffle=False)))
+    det_runner.zero_grads()
+    loss, traj = rollout_dagger_fused(
+        agent, args, "R2R", optim_cfg.Optim, batch, dataset=ds,
+        train_ml=1.0)
+    grads = det_runner.take_grads()
+    assert np.isfinite(float(loss))
+    assert all(len(t["path"]) >= 1 for t in traj)
+    assert sum(float(np.abs(g).sum())
+               for g in jax.tree.leaves(grads)) > 0
