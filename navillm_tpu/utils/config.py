@@ -181,9 +181,13 @@ class TrainArgs:
     # against a W8A8 int8 copy of the current params (re-quantized each
     # optimizer step). Gradients are untouched (the fused loss pass is
     # bf16); only the exploration distribution shifts — the same int8
-    # grid the W8A8 eval headline decodes from. Set False for exact
-    # bf16 sampling.
-    dagger_sample_quant: bool = True
+    # grid the W8A8 eval headline decodes from. MEASURED a regression
+    # at 1.3B-proxy scale (r5: calnorm 5.4 vs 7.1 — the per-token
+    # activation-quantize VPU work exceeds the MXU gain at these
+    # window sizes, the kv8 lesson again), so OFF by default; the
+    # machinery is tested (tests/test_fused_dagger.py) and remains a
+    # lever for weight-bound scales.
+    dagger_sample_quant: bool = False
     # fused whole-trajectory DAgger training: a NO-GRAD sampling
     # rollout picks the trajectory, then one fused loss fwd+bwd pass
     # computes the gradient with the per-step path's exact gradient
