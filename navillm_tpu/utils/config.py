@@ -180,8 +180,8 @@ class TrainArgs:
     # r5 same-session sweep at b=48 measured 2 -> 5.45x / 4 -> 6.06x
     # median (deeper pipelines amortize the per-step relay dispatch +
     # a_t latency floor, the same lever as eval's 8x4 groups); 6 blew
-    # up compile count/fixed costs at Bg=8
-    dagger_streams: int = 4
+    # up compile count at Bg=8 but won at runtime: 6 -> 7.08x median
+    dagger_streams: int = 6
     # fused DAgger: run the no-grad sampling rollout's policy forwards
     # against a W8A8 int8 copy of the current params (re-quantized each
     # optimizer step). Gradients are untouched (the fused loss pass is
