@@ -415,24 +415,28 @@ def bench_train_e2e(args):
         loader = Dataloader(ds, batch_size=b, shuffle=False)
         it = iter(loader)
         for step in range(n_batches):
-            try:
-                batch = next(it)
-            except StopIteration:
-                it = iter(Dataloader(ds, batch_size=b, shuffle=False))
-                batch = next(it)
+            with agent.timer.stage("loader"):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    it = iter(Dataloader(ds, batch_size=b, shuffle=False))
+                    batch = next(it)
             loss = agent.train("R2R", batch, targs, tcfg, dataset=ds,
                                step=step)
             if pending is not None:
-                float(pending)
+                with agent.timer.stage("grad_wait"):
+                    float(pending)
             pending = loss
             n_eps += batch["batch_size"]
             if (step + 1) % targs.gradient_accumulation_step == 0:
-                grads = runner.take_grads()
-                runner.params, opt_state = opt_step(runner.params,
-                                                    opt_state, grads)
-                runner.zero_grads()
+                with agent.timer.stage("opt_step"):
+                    grads = runner.take_grads()
+                    runner.params, opt_state = opt_step(runner.params,
+                                                        opt_state, grads)
+                    runner.zero_grads()
         if pending is not None:
-            float(pending)
+            with agent.timer.stage("grad_wait"):
+                float(pending)
         return n_eps
 
     # warmup/compile over the SAME batches a window runs: the loader is

@@ -644,13 +644,14 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
     def cat(key):
         return np.concatenate([s["pano_inputs"][key] for s in steps], 0)
 
-    pano_cat = {"view_img_fts": cat("view_img_fts"),
-                "loc_fts": cat("loc_fts"), "nav_types": cat("nav_types"),
-                "view_lens": cat("view_lens")}
-    if "obj_img_fts" in steps[0]["pano_inputs"]:
-        pano_cat.update({"obj_img_fts": cat("obj_img_fts"),
-                         "obj_loc_fts": cat("obj_loc_fts"),
-                         "obj_lens": cat("obj_lens")})
+    with agent.timer.stage("phase2_host"):
+        pano_cat = {"view_img_fts": cat("view_img_fts"),
+                    "loc_fts": cat("loc_fts"), "nav_types": cat("nav_types"),
+                    "view_lens": cat("view_lens")}
+        if "obj_img_fts" in steps[0]["pano_inputs"]:
+            pano_cat.update({"obj_img_fts": cat("obj_img_fts"),
+                             "obj_loc_fts": cat("obj_loc_fts"),
+                             "obj_lens": cat("obj_lens")})
     # The live rows are processed in fixed-width CHUNKS: the whole-
     # trajectory grad call at T*B ~ 80 rows x 512 tokens plus AdamW
     # state is marginal on a 16 GB chip, and chunking also makes every
@@ -891,50 +892,56 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
         return np.concatenate([getter(s) for s in steps], 0)
 
     # fusion/nav inputs shared by phases 4 and 5, G trimmed to G_eff
-    fuse_host = {
-        "gmap_step_ids": cat_steps(
-            lambda s: s["gmap_in"]["gmap_step_ids"][:, :G_eff]),
-        "gmap_pos_fts": cat_steps(
-            lambda s: s["gmap_in"]["gmap_pos_fts"][:, :G_eff]),
-        "gmap_masks": cat_steps(
-            lambda s: s["gmap_in"]["gmap_masks"][:, :G_eff]),
-        "gmap_visited_masks": cat_steps(
-            lambda s: s["gmap_in"]["gmap_visited_masks"][:, :G_eff]),
-        "vp_pos_fts": cat_steps(lambda s: s["vp_in"]["vp_pos_fts"]),
-        "pano_masks": cat_steps(lambda s: s["vp_in"]["pano_masks"]),
-        "local_match_slot": cat_steps(lambda s: s["match"]),
-    }
-    Hh = agent.dims.max_hist
-    hist_counts = np.zeros((T, B), np.int32)
+    with agent.timer.stage("phase4_host"):
+        fuse_host = {
+            "gmap_step_ids": cat_steps(
+                lambda s: s["gmap_in"]["gmap_step_ids"][:, :G_eff]),
+            "gmap_pos_fts": cat_steps(
+                lambda s: s["gmap_in"]["gmap_pos_fts"][:, :G_eff]),
+            "gmap_masks": cat_steps(
+                lambda s: s["gmap_in"]["gmap_masks"][:, :G_eff]),
+            "gmap_visited_masks": cat_steps(
+                lambda s: s["gmap_in"]["gmap_visited_masks"][:, :G_eff]),
+            "vp_pos_fts": cat_steps(lambda s: s["vp_in"]["vp_pos_fts"]),
+            "pano_masks": cat_steps(lambda s: s["vp_in"]["pano_masks"]),
+            "local_match_slot": cat_steps(lambda s: s["match"]),
+        }
+        Hh = agent.dims.max_hist
+        hist_counts = np.zeros((T, B), np.int32)
+        if use_dev:
+            # history bookkeeping is host ARITHMETIC (counts + append
+            # actions); the appended VALUES stay on device in the scan
+            acts_g = np.full((T_pad, B), -1, np.int32)
+            cnt = np.zeros(B, np.int32)
+            for st_idx, step in enumerate(steps):
+                hist_counts[st_idx] = cnt
+                acts = step["actions"] if feedback == "sample" \
+                    else step["targets"]
+                for i in range(B):
+                    a = int(acts[i])
+                    if a != args.ignoreid \
+                            and compact_of[st_idx * B + i] >= 0:
+                        acts_g[st_idx, i] = a
+                        cnt[i] += 1
+            # FULL fixed-width chunks scattered one at a time inside
+            # replay_fuse_scan (one executable per chunk width,
+            # regardless of chunk COUNT); padded rows scatter into the
+            # grid's trash row
+            rows_full = np.full(len(pe_chunks) * chunk, T_pad * B,
+                                np.int64)
+            rows_full[:n_live] = live_idx
+            # per-step fusion inputs stacked [T_pad, B, ...] for the scan
+            def stack_pad(flat, fill=0):
+                a = flat.reshape((T, B) + flat.shape[1:])
+                if T_pad == T:
+                    return a
+                pad = np.full((T_pad - T, B) + flat.shape[1:], fill,
+                              a.dtype)
+                return np.concatenate([a, pad], 0)
+            fuse_sts = {k: stack_pad(v) for k, v in fuse_host.items()}
+            pm_grid = np.zeros((T_pad, B, V), bool)
+            pm_grid[:T] = pano_masks_all
     if use_dev:
-        # history bookkeeping is host ARITHMETIC (counts + append
-        # actions); the appended VALUES stay on device in the scan
-        acts_g = np.full((T_pad, B), -1, np.int32)
-        cnt = np.zeros(B, np.int32)
-        for st_idx, step in enumerate(steps):
-            hist_counts[st_idx] = cnt
-            acts = step["actions"] if feedback == "sample" \
-                else step["targets"]
-            for i in range(B):
-                a = int(acts[i])
-                if a != args.ignoreid and compact_of[st_idx * B + i] >= 0:
-                    acts_g[st_idx, i] = a
-                    cnt[i] += 1
-        # FULL fixed-width chunks scattered one at a time inside
-        # replay_fuse_scan (one executable per chunk width, regardless
-        # of chunk COUNT); padded rows scatter into the grid's trash row
-        rows_full = np.full(len(pe_chunks) * chunk, T_pad * B, np.int64)
-        rows_full[:n_live] = live_idx
-        # per-step fusion inputs stacked [T_pad, B, ...] for the scan
-        def stack_pad(flat, fill=0):
-            a = flat.reshape((T, B) + flat.shape[1:])
-            if T_pad == T:
-                return a
-            pad = np.full((T_pad - T, B) + flat.shape[1:], fill, a.dtype)
-            return np.concatenate([a, pad], 0)
-        fuse_sts = {k: stack_pad(v) for k, v in fuse_host.items()}
-        pm_grid = np.zeros((T_pad, B, V), bool)
-        pm_grid[:T] = pano_masks_all
         with agent.timer.stage("fuse_device"):
             gmap_flat, hist_flat, mem_final = agent.runner.replay_fuse_scan(
                 [pe for pe, _ in pe_chunks], rows_full, T_pad, pm_grid,
@@ -991,48 +998,50 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
     # made no model call). Sample: they are REUSED from the sampling
     # pass — the per-step path pairs one permutation with both the
     # sampled action and the loss, and so do we.
-    prompts = []
-    orders = []
-    C = agent.dims.max_cands
-    from .mp3d_agent import CLS_TOKEN_TEXT
-    for st_idx, step in enumerate(steps):
-        for i in range(B):
-            if compact_of[st_idx * B + i] < 0:
-                continue
-            if feedback == "sample":
-                orders.append(np.asarray(step["order"][i], np.int32))
-                prompts.append(step["prompts"][i])
-                continue
-            slots = [k for k, vp in enumerate(step["gmap_vpids"][i])
-                     if k > 0 and vp is not None
-                     and not step["gmap_in"]["gmap_visited_masks"][i][k]]
-            perm = agent.np_rng.permutation(slots)[:C]
-            row = np.full(C, -1, np.int32)
-            row[: len(perm)] = perm
-            orders.append(row)
-            prompts.append(agent.get_prompt(
-                "navigation", instruction=instructions[i],
-                hist_num=int(hist_counts[st_idx, i]),
-                cand_num=min(len(slots) + 1, C + 1),
-                cls_token=CLS_TOKEN_TEXT))
-    tok_batch, cand_pos, hist_pos, cls_pos = \
-        agent.runner.tokenize_with_positions(prompts)
-    # live-compacted host nav inputs; gmap_img_embeds / hist_embeds are
-    # DEVICE gathers on the memory path (added per chunk below)
-    nav_batch = {k: v[live_idx] for k, v in fuse_host.items()}
-    nav_batch.update({
-        "cand_order": np.stack(orders),
-        "cand_positions": cand_pos,
-        "hist_positions": hist_pos,
-        "input_ids": tok_batch.input_ids,
-        "attention_mask": tok_batch.attention_mask,
-        "cls_pos": cls_pos,
-    })
-    if not use_dev:
-        nav_batch["gmap_img_embeds"] = \
-            fuse_batch["gmap_img_embeds"][:n_live]
-        nav_batch["hist_embeds"] = hist_embeds_live
-    targets = np.concatenate([s["targets"] for s in steps], 0)[live_idx]
+    with agent.timer.stage("phase5_host"):
+        prompts = []
+        orders = []
+        C = agent.dims.max_cands
+        from .mp3d_agent import CLS_TOKEN_TEXT
+        for st_idx, step in enumerate(steps):
+            for i in range(B):
+                if compact_of[st_idx * B + i] < 0:
+                    continue
+                if feedback == "sample":
+                    orders.append(np.asarray(step["order"][i], np.int32))
+                    prompts.append(step["prompts"][i])
+                    continue
+                slots = [k for k, vp in enumerate(step["gmap_vpids"][i])
+                         if k > 0 and vp is not None
+                         and not step["gmap_in"]["gmap_visited_masks"][i][k]]
+                perm = agent.np_rng.permutation(slots)[:C]
+                row = np.full(C, -1, np.int32)
+                row[: len(perm)] = perm
+                orders.append(row)
+                prompts.append(agent.get_prompt(
+                    "navigation", instruction=instructions[i],
+                    hist_num=int(hist_counts[st_idx, i]),
+                    cand_num=min(len(slots) + 1, C + 1),
+                    cls_token=CLS_TOKEN_TEXT))
+        tok_batch, cand_pos, hist_pos, cls_pos = \
+            agent.runner.tokenize_with_positions(prompts)
+        # live-compacted host nav inputs; gmap_img_embeds / hist_embeds
+        # are DEVICE gathers on the memory path (added per chunk below)
+        nav_batch = {k: v[live_idx] for k, v in fuse_host.items()}
+        nav_batch.update({
+            "cand_order": np.stack(orders),
+            "cand_positions": cand_pos,
+            "hist_positions": hist_pos,
+            "input_ids": tok_batch.input_ids,
+            "attention_mask": tok_batch.attention_mask,
+            "cls_pos": cls_pos,
+        })
+        if not use_dev:
+            nav_batch["gmap_img_embeds"] = \
+                fuse_batch["gmap_img_embeds"][:n_live]
+            nav_batch["hist_embeds"] = hist_embeds_live
+        targets = np.concatenate([s["targets"] for s in steps],
+                                 0)[live_idx]
     coef = train_ml / loss_den / args.gradient_accumulation_step
     ml_loss = 0.0
     with agent.timer.stage("nav_device"):
