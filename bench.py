@@ -719,7 +719,7 @@ def link_calibration():
     import numpy as np
     try:
         f = jax.jit(lambda x: x + 1)
-        lats, bws = [], []
+        lats, bws, ubs = [], [], []
         small = np.zeros((16,), np.float32)
         big = np.zeros((1 << 20,), np.float32)          # 4 MB
         for i in range(4):
@@ -729,8 +729,16 @@ def link_calibration():
             c = f(jnp.asarray(big + i)); c.block_until_ready()
             t0 = _t.perf_counter(); np.asarray(c)
             bws.append(4.0 / 1024 / max(_t.perf_counter() - t0, 1e-9))
+            # h2d (upload) direction: bounds the train path's feature
+            # uploads — measured separately because the tunnel's two
+            # directions degrade independently (h2d ~9 MB/s seen on the
+            # same session that measured d2h ~45 MB/s)
+            t0 = _t.perf_counter()
+            jax.device_put(big + i).block_until_ready()
+            ubs.append(4.0 / 1024 / max(_t.perf_counter() - t0, 1e-9))
         return {"d2h_latency_ms": round(sorted(lats)[2] * 1e3, 1),
-                "d2h_gbps": round(sorted(bws)[1], 3)}
+                "d2h_gbps": round(sorted(bws)[1], 3),
+                "h2d_gbps": round(sorted(ubs)[1], 3)}
     except Exception:
         return None
 

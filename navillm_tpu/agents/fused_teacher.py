@@ -641,8 +641,24 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
     T = len(steps)
 
     # ---------------- phase 2: one batched panorama call -----------------
+    import jax
+
     def cat(key):
-        return np.concatenate([s["pano_inputs"][key] for s in steps], 0)
+        # feature arrays arrive as committed DEVICE buffers (uploaded
+        # once at assembly time, panorama_inputs) — concatenate on
+        # device (np.concatenate would silently download them), PADDED
+        # to the fixed T_pad*B row count so every downstream gather
+        # executable sees one stable input shape: a shape that tracked
+        # the per-batch T or n_live would recompile nearly every batch,
+        # minutes each on the remote-compile relay.
+        parts = [s["pano_inputs"][key] for s in steps]
+        if isinstance(parts[0], jax.Array):
+            Tp = max(t_pad or T, T)
+            if Tp > T:
+                parts = parts + [jnp.zeros(
+                    (B * (Tp - T),) + parts[0].shape[1:], parts[0].dtype)]
+            return jnp.concatenate(parts, 0)
+        return np.concatenate(parts, 0)
 
     with agent.timer.stage("phase2_host"):
         pano_cat = {"view_img_fts": cat("view_img_fts"),
@@ -703,7 +719,20 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
         n_real = min(chunk, n_live - c0)
         return np.minimum(idx, n_live - 1), n_real
 
-    pano_cat = {k: v[live_idx] for k, v in pano_cat.items()}
+    # live-row compaction: host members compact HERE (free np slicing);
+    # DEVICE members stay at the fixed T_pad*B rows and compact inside
+    # each fixed-width chunk gather below (live_idx[idx]) — the same
+    # rows, but the gather executable's input shape never varies
+    pano_cat = {k: (v if isinstance(v, jax.Array) else v[live_idx])
+                for k, v in pano_cat.items()}
+
+    def chunk_feats(idx):
+        """Per-chunk pano inputs: np members slice on host in the
+        COMPACT ordering; device members gather the equivalent GLOBAL
+        rows (live_idx[idx]) out of the fixed-shape device buffer."""
+        g = live_idx[idx]
+        return {k: (v[g] if isinstance(v, jax.Array) else v[idx])
+                for k, v in pano_cat.items()}
     # DEVICE-RESIDENT REPLAY (r4): no host logic below branches on an
     # embedding VALUE — the host only does index bookkeeping — so on
     # the device-memory path the pano embeds stay in HBM, the memory
@@ -728,12 +757,12 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
             pano_rngs[c0] = agent.runner._next_rng()
             if use_dev:
                 out = agent.runner.panorama_dev_dict(
-                    {k: v[idx] for k, v in pano_cat.items()},
+                    chunk_feats(idx),
                     deterministic=False, rng=pano_rngs[c0])
                 pe_chunks.append((out["pano_embeds"], n_real))
             else:
                 out = agent.runner.panorama(
-                    {k: v[idx] for k, v in pano_cat.items()},
+                    chunk_feats(idx),
                     deterministic=False, rng=pano_rngs[c0])
                 pe_parts.append(out["pano_embeds"][:n_real])
                 pm_parts.append(out["pano_masks"][:n_real])
@@ -1061,7 +1090,7 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
                 chunk_batch["hist_embeds"] = \
                     jnp.take(hist_flat, rows, axis=0)
             _, _, _, _, loss_c = agent.runner.pano_navigation_train(
-                {k: v[idx] for k, v in pano_cat.items()}, pano_rngs[c0],
+                chunk_feats(idx), pano_rngs[c0],
                 chunk_batch, part_tgt, coef, need_outputs=False)
             ml_loss = ml_loss + loss_c
 

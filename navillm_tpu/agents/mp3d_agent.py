@@ -73,6 +73,19 @@ class MP3DAgent:
         self.np_rng = np.random.RandomState(args.seed)
         self.timer = StageTimer()
         self._prefetcher = None
+        # Host-side bf16 cast at the upload boundary: the pano encoder's
+        # first op on image features is astype(cfg.dtype)
+        # (models/pano_encoder.py:152), so rounding on the host is
+        # numerically identical — and halves h2d volume for the big
+        # [rows, V, D] feature arrays, the dominant link cost on the
+        # relay-attached chip. f32 configs (tests) are untouched.
+        try:
+            import jax.numpy as _jnp
+            import ml_dtypes as _mld
+            self._feat_dtype = (_mld.bfloat16 if runner.cfg.pano.dtype
+                                == _jnp.bfloat16 else None)
+        except ImportError:
+            self._feat_dtype = None
 
     # ---------------- prompt schema dispatch (per-task subclasses) ------ #
     def get_prompt(self, task, *a, **kw):
@@ -160,6 +173,24 @@ class MP3DAgent:
                 obj_lens[i] = n_obj
                 obj_ids.append(list(ob["obj_ids"])[:n_obj])
 
+        if self._feat_dtype is not None:
+            view_img = view_img.astype(self._feat_dtype)
+            if has_obj:
+                obj_img = obj_img.astype(self._feat_dtype)
+        if self.runner.plan is None:
+            # Upload the big feature arrays ONCE, asynchronously, at
+            # assembly time: the sampling eval step, the fused replay's
+            # phase-2 concat, and the heads then reuse the SAME device
+            # buffer (jnp.asarray at the jit ingress is a no-op on a
+            # committed device array), so the bytes cross the relay
+            # link once instead of 2-3x, and the transfer overlaps the
+            # rest of the host assembly instead of blocking in
+            # dispatch. Multi-device plans keep host arrays — dp row
+            # padding (_dp_pad_rows) happens at the dispatch boundary.
+            import jax as _jax
+            view_img = _jax.device_put(view_img)
+            if has_obj:
+                obj_img = _jax.device_put(obj_img)
         ret = {"view_img_fts": view_img, "loc_fts": loc_fts,
                "nav_types": nav_types, "view_lens": view_lens,
                "cand_vpids": cand_vpids}
