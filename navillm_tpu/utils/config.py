@@ -175,13 +175,17 @@ class TrainArgs:
     # batch (mp3d_agent.rollout_interleaved)
     dagger_pipeline: bool = True
     # number of interleaved DAgger streams (>=2). More streams hide
-    # host work at finer grain but shrink each device call's batch
+    # host work at finer grain but shrink each device call's batch.
     # fused-DAgger sampling slot groups (and interleaved-path streams):
-    # r5 same-session sweep at b=48 measured 2 -> 5.45x / 4 -> 6.06x
-    # median (deeper pipelines amortize the per-step relay dispatch +
-    # a_t latency floor, the same lever as eval's 8x4 groups); 6 blew
-    # up compile count at Bg=8 but won at runtime: 6 -> 7.08x median
-    dagger_streams: int = 6
+    # the pre-single-upload r5 sweep at b=48 had 6 groups winning (the
+    # per-step f32 feature upload + dispatch latency dominated, and
+    # deeper pipelines hid it); AFTER the single-upload bf16 feature
+    # path the sweep inverted — same-day medians 2 -> 7.31 eps/s
+    # (8.7x) vs 3 -> 5.64 vs 6 -> 5.64: with uploads off the critical
+    # path, the bigger per-call sampling batch (Bg=24) wins on MXU
+    # efficiency. bench_all races 2 vs 6 so a degraded-link session
+    # (where latency-hiding matters again) still records its best.
+    dagger_streams: int = 2
     # fused DAgger: run the no-grad sampling rollout's policy forwards
     # against a W8A8 int8 copy of the current params (re-quantized each
     # optimizer step). Gradients are untouched (the fused loss pass is
