@@ -53,6 +53,9 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
+import os
+import sys
+
 import numpy as np
 
 
@@ -630,6 +633,22 @@ def _dagger_sample_group(agent, args, grp, dataset, rng_local,
         agent._dagger_cache_pool.append((B, cache_P, cache))
 
 
+_PHASE2_CONCAT = None
+
+
+def _phase2_concat_jit(tree):
+    """One-dispatch device concat for phase 2: {key: [Tp parts]} ->
+    {key: [Tp*B, ...]}. Compiled once per pytree signature (the zeros
+    padding keeps it constant across batches)."""
+    global _PHASE2_CONCAT
+    if _PHASE2_CONCAT is None:
+        import jax
+        import jax.numpy as jnp
+        _PHASE2_CONCAT = jax.jit(
+            lambda t: {k: jnp.concatenate(v, 0) for k, v in t.items()})
+    return _PHASE2_CONCAT(tree)
+
+
 def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
                             data_type, B, train_ml, loss_den, feedback,
                             fgr2r_steps, t_pad=None):
@@ -643,31 +662,48 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
     # ---------------- phase 2: one batched panorama call -----------------
     import jax
 
-    def cat(key):
-        # feature arrays arrive as committed DEVICE buffers (uploaded
-        # once at assembly time, panorama_inputs) — concatenate on
-        # device (np.concatenate would silently download them), PADDED
-        # to the fixed T_pad*B row count so every downstream gather
-        # executable sees one stable input shape: a shape that tracked
-        # the per-batch T or n_live would recompile nearly every batch,
-        # minutes each on the remote-compile relay.
-        parts = [s["pano_inputs"][key] for s in steps]
-        if isinstance(parts[0], jax.Array):
-            Tp = max(t_pad or T, T)
-            if Tp > T:
-                parts = parts + [jnp.zeros(
-                    (B * (Tp - T),) + parts[0].shape[1:], parts[0].dtype)]
-            return jnp.concatenate(parts, 0)
-        return np.concatenate(parts, 0)
+    # feature arrays arrive as committed DEVICE buffers (uploaded once
+    # at assembly time, panorama_inputs) — concatenate on device
+    # (np.concatenate would silently download them), PADDED to the
+    # fixed T_pad*B row count so every downstream gather executable
+    # sees one stable input shape: a shape that tracked the per-batch T
+    # or n_live would recompile nearly every batch, minutes each on the
+    # remote-compile relay.
+    #
+    # ONE dispatch for the whole phase (r5): the old per-key eager
+    # concat+zeros issued ~14 relay round trips per batch — measured
+    # 890 ms/batch on a degraded-link session. Padding with (Tp-T)
+    # repeats of a FIXED per-key [B, ...] zeros buffer makes the jitted
+    # concat's pytree signature constant (Tp parts per key, every
+    # batch), so the whole dict concatenates in one jit call that
+    # compiles once per (key-set, Tp, B) and dispatches once per batch.
+    def cat_np(key):
+        return np.concatenate([s["pano_inputs"][key] for s in steps], 0)
 
     with agent.timer.stage("phase2_host"):
-        pano_cat = {"view_img_fts": cat("view_img_fts"),
-                    "loc_fts": cat("loc_fts"), "nav_types": cat("nav_types"),
-                    "view_lens": cat("view_lens")}
+        keys = ["view_img_fts", "loc_fts", "nav_types", "view_lens"]
         if "obj_img_fts" in steps[0]["pano_inputs"]:
-            pano_cat.update({"obj_img_fts": cat("obj_img_fts"),
-                             "obj_loc_fts": cat("obj_loc_fts"),
-                             "obj_lens": cat("obj_lens")})
+            keys += ["obj_img_fts", "obj_loc_fts", "obj_lens"]
+        dev_keys = [k for k in keys
+                    if isinstance(steps[0]["pano_inputs"][k], jax.Array)]
+        pano_cat = {k: cat_np(k) for k in keys if k not in dev_keys}
+        if dev_keys:
+            Tp = max(t_pad or T, T)
+            zcache = getattr(agent, "_phase2_zeros", None)
+            if zcache is None:
+                zcache = agent._phase2_zeros = {}
+            tree = {}
+            for k in dev_keys:
+                parts = [s["pano_inputs"][k] for s in steps]
+                if Tp > T:
+                    sig = (k, parts[0].shape, str(parts[0].dtype))
+                    z = zcache.get(sig)
+                    if z is None:
+                        z = zcache[sig] = jnp.zeros(parts[0].shape,
+                                                    parts[0].dtype)
+                    parts = parts + [z] * (Tp - T)
+                tree[k] = parts
+            pano_cat.update(_phase2_concat_jit(tree))
     # The live rows are processed in fixed-width CHUNKS: the whole-
     # trajectory grad call at T*B ~ 80 rows x 512 tokens plus AdamW
     # state is marginal on a 16 GB chip, and chunking also makes every
@@ -821,8 +857,19 @@ def _fused_trajectory_train(agent, args, *, steps, gmaps, traj, instructions,
     # — after warmup every batch reuses one executable, at the cost of
     # a sliver of fuse compute on small batches
     G_eff = min(G_full, max(16, -(-n_max // 16) * 16))
-    G_eff = max(G_eff, getattr(agent, "_g_eff_hwm", 0))
-    agent._g_eff_hwm = G_eff
+    hwm = getattr(agent, "_g_eff_hwm", 0)
+    if G_eff > hwm:
+        # BUMP MARGIN (r5): trajectories keep growing the graph for a
+        # few optimizer steps after warmup, so a bare HWM still paid
+        # one full replay+grad recompile (~25 s on the remote-compile
+        # relay) right after the warmup window — measured as a 2.7 vs
+        # 6.4 eps/s first timed window. Overshoot each bump by one
+        # bucket so near-term growth lands inside the compiled shape.
+        G_eff = min(G_full, G_eff + 16)
+        if os.environ.get("NAVILLM_DEBUG_SHAPES"):
+            print(f"[fused] G_eff hwm bump {hwm} -> {G_eff} "
+                  f"(n_max={n_max})", file=sys.stderr)
+    agent._g_eff_hwm = G_eff = max(G_eff, hwm)
     if use_dev:
         from .runner import MEM_CAPACITY as M
         assert T_pad <= agent.dims.max_hist, (
