@@ -470,9 +470,30 @@ def _dagger_sample_group(agent, args, grp, dataset, rng_local,
                     cache = None
                 else:
                     tok = agent.runner.tok
+                    # width HWM + one-bucket overshoot (r5): prompts
+                    # lengthen as the policy trains, and every new
+                    # (a_w, s_w) pair recompiles eval_step_cached
+                    # (~20 s remote) — measured as a 3.0 vs 7.3 eps/s
+                    # first timed bench window. Monotone widths trade a
+                    # sliver of masked attention FLOPs for one stable
+                    # executable. Sampling-path only: streaming eval
+                    # keeps its tight tuned widths.
+                    a_need = max(8, -(-max((len(a) for a in app_l),
+                                           default=1) // 8) * 8)
+                    s_need = max(64, -(-max((len(s) for s in suf_l),
+                                            default=1) // 64) * 64)
+                    aw = getattr(agent, "_samp_aw_hwm", 0)
+                    sw = getattr(agent, "_samp_sw_hwm", 0)
+                    if a_need > aw or s_need > sw:
+                        aw = max(aw, a_need + 8)
+                        sw = max(sw, s_need + 64)
+                        agent._samp_aw_hwm, agent._samp_sw_hwm = aw, sw
+                        if os.environ.get("NAVILLM_DEBUG_SHAPES"):
+                            print(f"[fused] sample window hwm bump -> "
+                                  f"a_w={aw} s_w={sw}", file=sys.stderr)
                     win = agent._window_arrays(
                         app_l, suf_l, tok.cand_id, tok.hist_id,
-                        tok.cls_ids[0], C)
+                        tok.cls_ids[0], C, min_a_w=aw, min_s_w=sw)
             if not use_cache:
                 tok_batch, cand_pos, hist_pos, cls_pos = \
                     agent.runner.tokenize_with_positions(prompts)

@@ -381,14 +381,19 @@ class MP3DAgent:
         return app_list, suf_list, prefill
 
     @staticmethod
-    def _window_arrays(app_list, suf_list, cand_id, hist_id, cls_id, C):
+    def _window_arrays(app_list, suf_list, cand_id, hist_id, cls_id, C,
+                       min_a_w=8, min_s_w=64):
         """Pack ragged windows into bucketed arrays + suffix-relative
         injection positions (k-th <cand> token <-> cand_order[:, k],
-        same pairing as tokenize_with_positions)."""
+        same pairing as tokenize_with_positions). min_a_w/min_s_w let a
+        caller hold a width high-water mark (the training sampling path
+        does — every new (a_w, s_w) pair compiles a fresh
+        eval_step_cached executable, ~20 s on a remote-compile relay)."""
         n = len(app_list)
-        a_w = max(8, -(-max((len(a) for a in app_list), default=1) // 8) * 8)
-        s_w = max(64, -(-max((len(s) for s in suf_list), default=1) // 64)
-                  * 64)
+        a_w = max(min_a_w,
+                  -(-max((len(a) for a in app_list), default=1) // 8) * 8)
+        s_w = max(min_s_w,
+                  -(-max((len(s) for s in suf_list), default=1) // 64) * 64)
         app_ids = np.zeros((n, a_w), np.int32)
         app_mask = np.zeros((n, a_w), bool)
         app_hist_pos = np.full(n, -1, np.int32)
